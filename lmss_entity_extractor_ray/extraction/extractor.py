@@ -1,0 +1,74 @@
+"""Per-document mention extraction core (mirrors
+``EntityExtractor.extract_entities``, app/entity_extraction.py:157-204).
+
+``DocumentExtractor`` holds the per-process state the reference loads as
+module-level singletons (spaCy pipeline + sentence-transformer,
+app/entity_extraction.py:12-13,152-154): here the Aho-Corasick automaton over
+ontology surface forms, compiled regexes, and an embedding cache.  The Ray
+actor stage (stages/mention_extractor.py) instantiates ONE of these per actor
+(``__init__``), the oracle instantiates one per process — both run the exact
+same per-document code path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import ExtractorConfig
+from ..functions.automaton import AhoCorasick
+from ..functions.embedding import embed_text
+from .candidates import all_candidates
+from .merge import merge_spans
+
+
+class DocumentExtractor:
+    def __init__(
+        self,
+        surface_forms: Optional[List[str]] = None,
+        cfg: ExtractorConfig = ExtractorConfig(),
+    ):
+        self.cfg = cfg
+        self.automaton = AhoCorasick(surface_forms) if surface_forms else None
+        self._embed_cache: Dict[str, np.ndarray] = {}
+
+    def _embed(self, text: str) -> np.ndarray:
+        vec = self._embed_cache.get(text)
+        if vec is None:
+            vec = embed_text(text)
+            if len(self._embed_cache) < self.cfg.cache_size:
+                self._embed_cache[text] = vec
+        return vec
+
+    def extract(self, text: str) -> List[Dict]:
+        """Mention records for one document: ``text/start/end/type/source/
+        context/confidence/vector``.  Empty or whitespace-only input returns
+        ``[]`` (guard, app/entity_extraction.py:160-162)."""
+        if not text or not text.strip():
+            return []
+        candidates = all_candidates(
+            text,
+            self.automaton,
+            top_keywords=self.cfg.top_keywords,
+            max_noun_phrase_tokens=self.cfg.max_noun_phrase_tokens,
+        )
+        merged = merge_spans(candidates)
+
+        mentions: List[Dict] = []
+        ctx = self.cfg.context_chars
+        n = len(text)
+        for m_text, start, end, m_type in merged:
+            mentions.append(
+                {
+                    "text": m_text,
+                    "start": start,
+                    "end": end,
+                    "type": m_type,
+                    "source": m_type.split("_")[0],   # app/entity_extraction.py:179
+                    "confidence": 1.0,                # :178
+                    "context": text[max(0, start - ctx) : min(n, end + ctx)],  # :181-188
+                    "vector": self._embed(m_text),
+                }
+            )
+        return mentions

@@ -1,0 +1,83 @@
+"""Pure-Python fuzzy string ratios (token_set_ratio, partial_ratio).
+
+The reference uses ``fuzzywuzzy.fuzz.token_set_ratio`` in linking
+(app/lmss_classification.py:88) and ``token_set_ratio`` + ``partial_ratio``
+in search (app/lmss_search.py:95-96).  fuzzywuzzy's algorithms are public
+(SeatGeek blog / MIT source); this module re-implements them on
+``difflib.SequenceMatcher`` with no dependencies.  Both the Ray pipeline and
+the single-process oracle import THIS module, so linking parity is internal
+to the repo (SURVEY.md §2.8, §7.0).
+
+All ratios are integers in [0, 100].
+"""
+
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+from functools import lru_cache
+
+_NON_ALNUM_RE = re.compile(r"[^\w]+", re.UNICODE)
+
+
+def _ratio_float(a: str, b: str) -> float:
+    if not a and not b:
+        return 1.0
+    return SequenceMatcher(None, a, b).ratio()
+
+
+def ratio(a: str, b: str) -> int:
+    """Simple ratio: 100 * 2M / (len(a)+len(b)), rounded."""
+    return int(round(100 * _ratio_float(a, b)))
+
+
+def partial_ratio(a: str, b: str) -> int:
+    """Best ratio of the shorter string against any same-length alignment of
+    the longer, using SequenceMatcher matching blocks as alignment anchors."""
+    if len(a) <= len(b):
+        shorter, longer = a, b
+    else:
+        shorter, longer = b, a
+    if not shorter:
+        return 100 if not longer else 0
+
+    m = SequenceMatcher(None, shorter, longer)
+    best = 0.0
+    for block in m.get_matching_blocks():
+        # align the longer string's window so the matched block lines up
+        start = max(0, block.b - block.a)
+        window = longer[start : start + len(shorter)]
+        r = _ratio_float(shorter, window)
+        if r > 0.995:
+            return 100
+        best = max(best, r)
+    return int(round(100 * best))
+
+
+def _tokens(s: str) -> list:
+    return [t for t in _NON_ALNUM_RE.split(s.lower()) if t]
+
+
+def token_sort_ratio(a: str, b: str) -> int:
+    """Ratio of the alphabetically re-joined token sequences."""
+    return ratio(" ".join(sorted(_tokens(a))), " ".join(sorted(_tokens(b))))
+
+
+@lru_cache(maxsize=500_000)
+def token_set_ratio(a: str, b: str) -> int:
+    """Set-partition ratio: split tokens into intersection and the two
+    differences; max over the three pairwise combined-string ratios."""
+    ta, tb = set(_tokens(a)), set(_tokens(b))
+    inter = sorted(ta & tb)
+    diff_a = sorted(ta - tb)
+    diff_b = sorted(tb - ta)
+
+    s_inter = " ".join(inter)
+    s_a = (s_inter + " " + " ".join(diff_a)).strip()
+    s_b = (s_inter + " " + " ".join(diff_b)).strip()
+
+    return max(
+        ratio(s_inter, s_a),
+        ratio(s_inter, s_b),
+        ratio(s_a, s_b),
+    )

@@ -1,0 +1,160 @@
+"""Mention → LMSS class linking core (reference: ``OntologyClassifier``,
+app/lmss_classification.py:62-171).
+
+Two implementations with identical outputs:
+
+- ``match_naive`` — the oracle-faithful mirror of ``_find_best_match``:
+  scan ALL classes in index order; fast-path return on the FIRST class with
+  cosine >= high_confidence_threshold (:75-84); else
+  ``combined = (cosine + token_set_ratio/100) / 2`` (:87-90) with
+  ``best_score`` starting at 0 and strict ``>`` updates; accept iff
+  ``>= similarity_threshold`` (:100-109).
+
+- ``match_fast`` — the vectorized engine path: one gemv for all cosines,
+  then fuzzy only on classes whose combined-score upper bound
+  ``(cos+1)/2`` can still matter.  The pruning is exact:
+  (a) a class with ``(cos+1)/2 < similarity_threshold`` can neither be
+      returned (its combined < threshold) nor shadow a returned class (if it
+      were the argmax, the max would be < threshold → None either way);
+  (b) inside the loop, a class with ``(cos+1)/2 <= best_score`` cannot
+      strictly exceed ``best_score`` so never updates it; skipping preserves
+      the reference's first-index tie behavior.
+  Both paths share the same gemv and float arithmetic, so results are
+  bit-identical; a unit test asserts naive == fast on fuzzed inputs.
+
+Classes whose four embedding fields are all empty have no embedding and are
+skipped entirely (reference :69-70) — the artifact matrix simply omits them.
+
+Linking is a pure function of the mention text (the vector is derived from
+it), so ``match_fast`` memoizes per text — web-corpus mention texts are
+Zipf-distributed and the cache hit rate is high.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import LMSS_NS, LinkerConfig
+from ..functions.fuzzy import token_set_ratio
+from ..ontology.artifacts import OntologyArtifacts
+
+Match = Tuple[str, str, float]  # (iri, label, score)
+
+_MISS = ("", "", -1.0)  # cache sentinel for "no match"
+
+
+def make_pred(branch: str) -> str:
+    """Triple predicate for a branch: the reference's implicit
+    ``(doc, lmss:hasClass ⊕ branch, iri)`` payload (SURVEY.md §1.1.4)."""
+    return LMSS_NS + "hasClass/" + branch
+
+
+class LinkerCore:
+    def __init__(self, artifacts: OntologyArtifacts, cfg: LinkerConfig = LinkerConfig()):
+        self.cfg = cfg
+        self.nmat = np.ascontiguousarray(artifacts.emb_norm)  # [R, D] unit rows
+        idx = artifacts.emb_class_idx
+        self.row_iris: List[str] = [artifacts.iris[i] for i in idx]
+        self.row_labels: List[str] = [artifacts.labels[i] for i in idx]
+        self.row_labels_lower: List[str] = [s.lower() for s in self.row_labels]
+        self.branch_of: Dict[str, str] = artifacts.branch_of
+        self._cache: Dict[str, Match] = {}
+
+    # -- shared numeric kernel: one gemv per mention, same on both paths --
+    def cosines(self, unit_vec: np.ndarray) -> np.ndarray:
+        return self.nmat @ unit_vec
+
+    def branch(self, iri: str) -> str:
+        return self.branch_of.get(iri, "Unknown")
+
+    # ------------------------------------------------------------------
+    def match_naive(self, text: str, unit_vec: np.ndarray) -> Optional[Match]:
+        """Oracle-faithful full scan (reference control flow, no pruning)."""
+        cos = self.cosines(unit_vec)
+        text_lower = text.lower()
+        best: Optional[Match] = None
+        best_score = 0.0
+        for r in range(cos.shape[0]):
+            semantic = float(cos[r])
+            if semantic >= self.cfg.high_confidence_threshold:
+                return (self.row_iris[r], self.row_labels[r], semantic)
+            fuzzy = token_set_ratio(text_lower, self.row_labels_lower[r]) / 100
+            combined = (semantic + fuzzy) / 2
+            if combined > best_score:
+                best_score = combined
+                best = (self.row_iris[r], self.row_labels[r], best_score)
+        if best is not None and best[2] >= self.cfg.similarity_threshold:
+            return best
+        return None
+
+    # ------------------------------------------------------------------
+    def match_fast(self, text: str, unit_vec: np.ndarray) -> Optional[Match]:
+        """Vectorized + pruned + memoized; output identical to match_naive."""
+        hit = self._cache.get(text)
+        if hit is not None:
+            return None if hit is _MISS else hit
+        result = self._match_fast_uncached(text, unit_vec)
+        if len(self._cache) < self.cfg.cache_size:
+            self._cache[text] = _MISS if result is None else result
+        return result
+
+    def _match_fast_uncached(self, text: str, unit_vec: np.ndarray) -> Optional[Match]:
+        cos = self.cosines(unit_vec)
+        high = cos >= self.cfg.high_confidence_threshold
+        if high.any():
+            r = int(np.argmax(high))  # FIRST qualifying class in index order
+            return (self.row_iris[r], self.row_labels[r], float(cos[r]))
+
+        upper = (cos + 1.0) / 2.0
+        candidates = np.nonzero(upper >= self.cfg.similarity_threshold)[0]
+        text_lower = text.lower()
+        best: Optional[Match] = None
+        best_score = 0.0
+        for r in candidates:
+            if upper[r] <= best_score:
+                continue
+            semantic = float(cos[r])
+            fuzzy = token_set_ratio(text_lower, self.row_labels_lower[r]) / 100
+            combined = (semantic + fuzzy) / 2
+            if combined > best_score:
+                best_score = combined
+                best = (self.row_iris[r], self.row_labels[r], best_score)
+        if best is not None and best[2] >= self.cfg.similarity_threshold:
+            return best
+        return None
+
+    # ------------------------------------------------------------------
+    def post_process(self, mention_type: str, match: Match) -> Optional[Match]:
+        """Mirror of ``_post_process_match`` (app/lmss_classification.py:111-127):
+        Location noun phrases pass through; low-score VERB matches are dropped
+        (dead branch in the reference — the extractor never emits VERB — kept
+        for parity, SURVEY.md §2.10)."""
+        if mention_type == "NOUN_PHRASE" and self.branch(match[0]) == "Location":
+            return match
+        if mention_type == "VERB" and match[2] < 0.7:
+            return None
+        return match
+
+    def classify(self, mention: Dict, fast: bool = True) -> Optional[Dict]:
+        """One mention dict → classified record
+        ``{start,end,text,branch,label,score,iri}``
+        (reference match_entities, app/lmss_classification.py:129-159)."""
+        fn = self.match_fast if fast else self.match_naive
+        match = fn(mention["text"], mention["vector"])
+        if match is None:
+            return None
+        match = self.post_process(mention["type"], match)
+        if match is None:
+            return None
+        branch = self.branch(match[0])
+        return {
+            "start": mention["start"],
+            "end": mention["end"],
+            "text": mention["text"],
+            "branch": branch,
+            "label": match[1],
+            "score": match[2],
+            "iri": match[0],
+        }

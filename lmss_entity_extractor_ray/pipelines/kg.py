@@ -1,0 +1,188 @@
+"""KG-construction pipeline composition (SURVEY.md §3.2 "new engine"):
+
+    read_parquet(corpus)                       # url, warc_ts, html, text, lang
+      → map_batches(extract_text)              # drop html immediately
+      → map_batches(MentionExtractor, actors)  # automaton + embedder state
+      → map_batches(Linker, actors)            # class matrix + closure state
+      → in-batch dedup (inside Linker)
+      → groupby(subj, pred, obj) global-dedup backstop
+      → write_parquet / aggregates
+
+Ray is NEVER initialised here — callers (driver, bench, tests) own the
+session.  All functions return lazy Datasets; nothing materializes the full
+input.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..ontology.artifacts import OntologyArtifacts
+from ..stages.linker import Linker
+from ..stages.mention_extractor import MentionExtractor
+from ..stages.text_extract import extract_text_batch
+
+
+def read_corpus(paths, parallelism: Optional[int] = None) -> rd.Dataset:
+    """Column-pruned corpus read: only url/html/text leave storage (warc_ts
+    and lang are provenance the KG pipeline never touches — SURVEY.md §1.2)."""
+    kwargs = {}
+    if parallelism:
+        kwargs["override_num_blocks"] = parallelism
+    return rd.read_parquet(paths, columns=["url", "html", "text"], **kwargs)
+
+
+def _cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        return 4
+
+
+def _pool(cfg_value, frac: float) -> tuple:
+    """Actor-pool (min, max): min is ALWAYS 1 so the pools can never reserve
+    every CPU and starve read/shuffle tasks (the streaming executor deadlocks
+    if min-actors x num_cpus >= cluster CPUs); max autoscales to a fraction
+    of the cluster so extractor + linker + tasks share the node."""
+    if cfg_value is not None:
+        return cfg_value
+    cpus = _cluster_cpus()
+    return (1, max(2, int(cpus * frac)))
+
+
+def broadcast_artifacts(artifacts: OntologyArtifacts, cfg: EngineConfig = DEFAULT_CONFIG):
+    """``ray.put`` the two broadcast payloads ONCE: the gazetteer surface
+    forms (extractor) and the full artifacts (linker).  Every actor gets the
+    object-store ref, not a per-task copy."""
+    forms = artifacts.gazetteer_surface_forms(cfg.extractor.min_gazetteer_label_chars)
+    return ray.put(forms), ray.put(artifacts)
+
+
+def mentions_dataset(
+    corpus_ds: rd.Dataset,
+    forms_ref,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> rd.Dataset:
+    ds = corpus_ds.map_batches(
+        extract_text_batch,
+        batch_format="pyarrow",
+        batch_size=cfg.run.batch_size_docs,
+        zero_copy_batch=True,
+    )
+    return ds.map_batches(
+        MentionExtractor,
+        fn_constructor_kwargs={"surface_forms": forms_ref, "cfg": cfg.extractor},
+        batch_format="pyarrow",
+        batch_size=cfg.run.batch_size_docs,
+        concurrency=_pool(cfg.run.extractor_concurrency, 0.75),
+        num_cpus=1,
+    )
+
+
+def triples_dataset(
+    corpus_ds: rd.Dataset,
+    artifacts: OntologyArtifacts,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    global_dedup: Optional[bool] = None,
+) -> rd.Dataset:
+    """Lazy triples Dataset for a corpus Dataset."""
+    forms_ref, artifacts_ref = broadcast_artifacts(artifacts, cfg)
+    ds = mentions_dataset(corpus_ds, forms_ref, cfg)
+    ds = ds.map_batches(
+        Linker,
+        fn_constructor_kwargs={"artifacts": artifacts_ref, "cfg": cfg.linker},
+        batch_format="pyarrow",
+        batch_size=cfg.run.batch_size_mentions,
+        concurrency=_pool(cfg.run.linker_concurrency, 0.5),
+        num_cpus=1,
+    )
+    if global_dedup is None:
+        global_dedup = cfg.run.global_dedup
+    if global_dedup:
+        ds = dedup_triples(ds)
+    return ds
+
+
+def _keep_best(group: pa.Table) -> pa.Table:
+    """First row by (-score, start) within one (subj, pred, obj) group."""
+    order = pc.sort_indices(
+        group, sort_keys=[("score", "descending"), ("start", "ascending")]
+    )
+    return group.take(order[:1])
+
+
+def dedup_triples(triples_ds: rd.Dataset) -> rd.Dataset:
+    """Global exact-dedup backstop on (subj, pred, obj) — SURVEY.md §2.7 D3.
+
+    The key is url-dominated (near-unique, high cardinality) so the hash
+    shuffle is skew-safe (SURVEY.md §4.3); the Linker already pre-deduped
+    within batches, so this groupby only sees cross-batch duplicates."""
+    return triples_ds.groupby(["subj", "pred", "obj"]).map_groups(
+        _keep_best, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew-aware aggregates over triples (SURVEY.md §2.5 G3/G5, §4.3)
+# ---------------------------------------------------------------------------
+
+def _salt_of(values, buckets: int):
+    return [zlib.crc32(v.encode("utf-8")) % buckets for v in values]
+
+
+def salted_value_counts(
+    ds: rd.Dataset, key: str, salt_from: str = "subj", buckets: int = 16
+) -> rd.Dataset:
+    """Count rows per ``key`` when ``key`` is Zipf-hot (e.g. obj/pred class
+    IRIs — a handful of classes tag most pages, SURVEY.md §7.4.5).
+
+    Three-stage, FP-Hadoop-style (PAPERS.md, VLDB 2015):
+      1. in-batch partial count per (key, salt) — map-side combine;
+      2. groupby (key, salt) Sum — the shuffle fans each hot key out over
+         ``buckets`` reducers instead of one;
+      3. groupby key Sum over ≤ buckets rows/key — trivially small.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_pylist()
+        salts = _salt_of(batch.column(salt_from).to_pylist(), buckets)
+        counts: dict = {}
+        for k, s in zip(keys, salts):
+            counts[(k, s)] = counts.get((k, s), 0) + 1
+        return pa.table(
+            {
+                key: pa.array([k for k, _ in counts], pa.string()),
+                "salt": pa.array([s for _, s in counts], pa.int32()),
+                "partial_count": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    salted = partials.groupby([key, "salt"]).aggregate(
+        Sum("partial_count", alias_name="salted_count")
+    )
+    return (
+        salted.groupby(key)
+        .aggregate(Sum("salted_count", alias_name="n"))
+        .sort("n", descending=True)
+    )
+
+
+def branch_histogram(triples_ds: rd.Dataset, buckets: int = 16) -> rd.Dataset:
+    """Triples per branch (the reference's entity-type-histogram pattern,
+    app/main.py:238-244, applied to the skewed branch key)."""
+    return salted_value_counts(triples_ds, "branch", salt_from="subj", buckets=buckets)
+
+
+def mention_type_histogram(mentions_ds: rd.Dataset) -> rd.Dataset:
+    """Mention count per type (reference ExtractionStats, app/main.py:238-244)."""
+    return mentions_ds.groupby("type").aggregate(Count(alias_name="n")).sort("type")
