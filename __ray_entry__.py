@@ -1,44 +1,376 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code these functions use) calls ``ray.init()`` /
+``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship KG pipeline over the deterministic synthetic
+  web-page corpus (the exact ``BASELINE.json.input_hint`` table shape) at
+  sf0.001 scale; returns the lazy triples Dataset.
+- ``queries()`` — one entry per implemented operator/pipeline from
+  SURVEY.md §2 plus the training-data ops (dedup / similarity / text
+  analysis / multimodal).  SQL-expressible ops have a matching
+  ``oracle_sql()`` entry with identical column names and rounding; the KG
+  stack and hash/sketch ops are non-SQL and get rows-only checks (their
+  exact semantics are pinned by the oracle package + pytest instead).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow.parquet as pq
+
+# KG corpus sizes per driver scale factor (the north-rule input table is
+# synthesized deterministically per FIXTURES.md §F1 — seed 42, pure function
+# of the row index — because the driver tables don't have the
+# (url, warc_ts, html, text, lang) shape the rule mandates).
+_CORPUS_ROWS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 4000}
+
+_CACHE: dict = {}
+
+
+def _artifacts():
+    if "art" not in _CACHE:
+        from lmss_entity_extractor_ray.ontology.artifacts import build_or_load
+        from lmss_entity_extractor_ray.ontology.fixture import write_fixture_owl
+
+        owl = write_fixture_owl("/tmp/graft_kg/fixture.owl")
+        _CACHE["art"] = build_or_load(owl, cache_root="/tmp/graft_kg/artifacts")
+    return _CACHE["art"]
+
+
+def _corpus_files(sf_dir: str):
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n = _CORPUS_ROWS.get(sf_name, 1000)
+    key = ("corpus", sf_name, n)
+    if key not in _CACHE:
+        from lmss_entity_extractor_ray.pipelines.corpus import make_phrase_bank, write_corpus
+
+        art = _artifacts()
+        out = f"/tmp/graft_kg/corpus-{sf_name}-{n}"
+        _CACHE[key] = write_corpus(out, n, seed=42, bank=make_phrase_bank(art), rows_per_file=max(50, n // 8))
+    return _CACHE[key]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _min_vec_query(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t.column("vec_id").to_pylist()
+    i = ids.index(min(ids))
+    return t.column("embedding")[i].as_py()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic web-page corpus @ sf0.001 → triples."""
+    from lmss_entity_extractor_ray.pipelines.kg import read_corpus, triples_dataset
+
+    files = _corpus_files("/root/testdata/sf0.001")
+    return triples_dataset(read_corpus(files), _artifacts())
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_kg_triples(sf_dir: str):
+    from lmss_entity_extractor_ray.pipelines.kg import read_corpus, triples_dataset
+
+    return triples_dataset(read_corpus(_corpus_files(sf_dir)), _artifacts())
+
+
+def _q_kg_triples_dedup(sf_dir: str):
+    """The full groupby-aggregate dedup shuffle (north-rule path) — must
+    emit exactly the same rows as the fused in-batch dedup (kg_triples)."""
+    from lmss_entity_extractor_ray.pipelines.kg import read_corpus, triples_dataset
+
+    return triples_dataset(
+        read_corpus(_corpus_files(sf_dir)), _artifacts(), global_dedup=True
+    )
+
+
+def _q_kg_mention_hist(sf_dir: str):
+    from lmss_entity_extractor_ray.pipelines.kg import (
+        broadcast_artifacts,
+        mention_type_histogram,
+        mentions_dataset,
+        read_corpus,
+    )
+
+    forms_ref, _ = broadcast_artifacts(_artifacts())
+    ds = mentions_dataset(read_corpus(_corpus_files(sf_dir)), forms_ref)
+    return mention_type_histogram(ds)
+
+
+def _q_kg_branch_hist(sf_dir: str):
+    from lmss_entity_extractor_ray.pipelines.kg import (
+        branch_histogram,
+        read_corpus,
+        triples_dataset,
+    )
+
+    ds = triples_dataset(read_corpus(_corpus_files(sf_dir)), _artifacts())
+    return branch_histogram(ds)
+
+
+def _q_ontology_search(sf_dir: str):
+    import pyarrow as pa
+
+    from lmss_entity_extractor_ray.search import OntologySearch
+
+    rows = OntologySearch(_artifacts()).search("securities law compliance")
+    return pa.table(
+        {
+            "iri": pa.array([r["iri"] for r in rows], pa.string()),
+            "label": pa.array([r["label"] for r in rows], pa.string()),
+            "score": pa.array([r["score"] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _q_token_counts(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.text_ops import token_counts
+
+    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_quality(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.text_ops import quality_scores
+
+    return quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_lang_id(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.text_ops import lang_id
+
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_fingerprints(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.text_ops import fingerprints
+
+    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_exact_dedup(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_simhash(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.dedup import simhash_signatures
+
+    return simhash_signatures(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_minhash_near_dup(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.dedup import near_dup_pairs_minhash
+
+    return near_dup_pairs_minhash(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.2
+    )
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.4)
+
+
+def _q_ann_topk(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.similarity import brute_force_topk
+
+    return brute_force_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
+
+
+def _q_lsh_topk(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.similarity import lsh_topk
+
+    return lsh_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
+
+
+def _q_multimodal_decode(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.multimodal import decode_features, payloads_from_documents
+
+    ds = decode_features(payloads_from_documents(_read(sf_dir, "documents", ["doc_id", "text"])))
+    return ds.select_columns(["item_id", "media_type", "payload_sha256", "payload_bytes"])
+
+
+def _q_pricing_summary(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.relational import pricing_summary
+
+    return pricing_summary(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+    )
+
+
+def _q_top_customers(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.relational import top_customers
+
+    return top_customers(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+    )
+
+
+def _q_events_by_type(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.relational import events_by_type
+
+    return events_by_type(_read(sf_dir, "events", ["event_type", "value"]))
+
+
+def _q_filter_parts(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.relational import filter_parts
+
+    return filter_parts(_read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_retailprice"]))
+
+
+def _q_supplier_balance(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.relational import supplier_balance_by_nation
+
+    return supplier_balance_by_nation(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # KG-construction stack (non-SQL; pinned by oracle/ + pytest)
+        "kg_triples": _q_kg_triples,
+        "kg_triples_dedup_backstop": _q_kg_triples_dedup,
+        "kg_mention_type_histogram": _q_kg_mention_hist,
+        "kg_branch_histogram": _q_kg_branch_hist,
+        "ontology_search": _q_ontology_search,
+        # text analysis
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        # dedup family
+        "exact_dedup": _q_exact_dedup,
+        "simhash_signatures": _q_simhash,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "lsh_topk": _q_lsh_topk,
+        # multimodal plumbing
+        "multimodal_decode": _q_multimodal_decode,
+        # generic relational coverage
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "events_by_type": _q_events_by_type,
+        "filter_parts": _q_filter_parts,
+        "supplier_balance_by_nation": _q_supplier_balance,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (identical column names + rounding as the Ray results)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "('the','a','an','of','to','and','in','is','it','for')"
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE array_length({_TOKENS}) END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_counts": f"SELECT doc_id, {_NTOK} AS n_tokens FROM documents",
+        "quality_scores": f"""
+            SELECT doc_id,
+                   length(text) AS len_chars,
+                   {_NTOK} AS n_tokens,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_count,
+                   CASE WHEN {_NTOK} = 0 THEN 0
+                        ELSE CAST(floor(length(regexp_replace(text, '\\s', '', 'g'))
+                                        / greatest({_NTOK}, 1) * 100000 + 0.5) AS BIGINT)
+                        END AS avg_token_chars_e5,
+                   CASE WHEN {_NTOK} = 0 THEN 0
+                        ELSE CAST(floor(len(list_filter({_TOKENS}, x -> x IN {_STOPWORDS_SQL}))
+                                        / {_NTOK} * 100000 + 0.5) AS BIGINT)
+                        END AS stopword_ratio_e5
+            FROM documents
+        """,
+        "exact_dedup": f"""
+            SELECT array_to_string(({_TOKENS})[1:5], ' ') AS dedup_key,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[]))
+                              * 100000 + 0.5) AS BIGINT) AS cos_e5
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                       WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            SELECT e2.vec_id,
+                   CAST(floor(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), q.e)
+                              * 100000 + 0.5) AS BIGINT) AS cos_e5
+            FROM embeddings e2, q
+            ORDER BY cos_e5 DESC, vec_id LIMIT 10
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS item_id,
+                   'text/plain' AS media_type,
+                   sha256(text) AS payload_sha256,
+                   strlen(text) AS payload_bytes
+            FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_c2,
+                   CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_price_c2,
+                   CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+                       AS sum_disc_price_c2,
+                   CAST(floor(avg(l_quantity) * 10000 + 0.5) AS BIGINT) AS avg_qty_e4,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT o.o_custkey AS c_custkey, c.c_name,
+                   CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT) AS revenue_c2
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_name
+            ORDER BY revenue_c2 DESC, c_custkey LIMIT 10
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_c2,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "filter_parts": """
+            SELECT p_partkey, p_name, p_size, p_retailprice
+            FROM part WHERE p_size >= 30 ORDER BY p_partkey
+        """,
+        "supplier_balance_by_nation": """
+            SELECT n.n_name, count(*) AS n_suppliers,
+                   CAST(floor(sum(s.s_acctbal) * 100 + 0.5) AS BIGINT) AS total_bal_c2
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+    }

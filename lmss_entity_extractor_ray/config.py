@@ -73,7 +73,11 @@ class RunConfig:
     linker_concurrency: tuple | None = None
     num_shards: int = 8               # checkpoint granularity (resume unit)
     salt_buckets: int = 16            # salting for skewed per-class aggregates
-    global_dedup: bool = True         # groupby backstop after in-batch dedup
+    # The Linker's in-batch dedup is globally exact because linker batches
+    # are whole doc-aligned blocks and urls are unique (pipelines/kg.py);
+    # the groupby(subj,pred,obj) backstop is a validation pass — keep it off
+    # the hot path and run it in tests / the dedup-audit query.
+    global_dedup: bool = False
 
 
 @dataclass(frozen=True)

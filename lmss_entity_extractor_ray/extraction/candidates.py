@@ -53,10 +53,11 @@ def gazetteer_spans(text: str, automaton: Optional[AhoCorasick]) -> List[Span]:
     ]
 
 
-def capitalized_spans(text: str) -> List[Span]:
+def capitalized_spans(text: str, toks=None) -> List[Span]:
     """Maximal runs of space-adjacent capitalized word tokens: runs of >= 2
     capitalized words, or a single all-caps token of length >= 2."""
-    toks = word_tokens(text)
+    if toks is None:
+        toks = word_tokens(text)
     out: List[Span] = []
     run: List[Tuple[str, int, int]] = []
 
@@ -79,12 +80,13 @@ def capitalized_spans(text: str) -> List[Span]:
     return out
 
 
-def noun_phrase_spans(text: str, max_tokens: int = 6) -> List[Span]:
+def noun_phrase_spans(text: str, max_tokens: int = 6, toks=None) -> List[Span]:
     """Stopword-delimited token runs: consecutive word tokens separated only
     by single spaces, split at stopwords; runs capped at ``max_tokens``.
     (Re-spec of spaCy noun_chunks with the root-is-stop skip,
     app/entity_extraction.py:120-125.)"""
-    toks = word_tokens(text)
+    if toks is None:
+        toks = word_tokens(text)
     out: List[Span] = []
     run: List[Tuple[str, int, int]] = []
 
@@ -131,8 +133,10 @@ def all_candidates(
     max_noun_phrase_tokens: int = 6,
 ) -> List[Span]:
     """Concatenated candidate streams in the reference's order
-    (NER + noun phrases + keywords, app/entity_extraction.py:146)."""
-    ner = gazetteer_spans(text, automaton) + capitalized_spans(text)
-    nps = noun_phrase_spans(text, max_noun_phrase_tokens)
+    (NER + noun phrases + keywords, app/entity_extraction.py:146).
+    Word tokens are computed once and shared by both chunkers."""
+    toks = word_tokens(text)
+    ner = gazetteer_spans(text, automaton) + capitalized_spans(text, toks)
+    nps = noun_phrase_spans(text, max_noun_phrase_tokens, toks)
     kws = keyword_spans(text, top_keywords)
     return ner + nps + kws

@@ -185,6 +185,9 @@ def to_owl_xml(classes: List[Dict]) -> str:
 
 
 def write_fixture_owl(path: str, n_classes: int = 60, seed: int = 7) -> str:
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     xml = to_owl_xml(fixture_classes(n_classes=n_classes, seed=seed))
     with open(path, "w", encoding="utf-8") as f:
         f.write(xml)

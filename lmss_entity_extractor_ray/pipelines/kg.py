@@ -48,15 +48,21 @@ def _cluster_cpus() -> int:
         return 4
 
 
-def _pool(cfg_value, frac: float) -> tuple:
-    """Actor-pool (min, max): min is ALWAYS 1 so the pools can never reserve
-    every CPU and starve read/shuffle tasks (the streaming executor deadlocks
-    if min-actors x num_cpus >= cluster CPUs); max autoscales to a fraction
-    of the cluster so extractor + linker + tasks share the node."""
+def _pool(cfg_value, frac: float, min_frac: float = 0.0) -> tuple:
+    """Actor-pool (min, max) sizing.
+
+    Deadlock rule: the SUM of pool mins in one pipeline must stay below the
+    cluster CPUs or the streaming executor starves read/shuffle tasks and
+    hangs silently.  The modular two-pool path therefore uses min=1
+    (min_frac=0); the fused single-pool path uses a high min (measured: the
+    default autoscaler ramps far too slowly — a (1,28) pool ran ~6.5-way
+    parallel on 32 CPUs; (28,28) ran 2.5x faster)."""
     if cfg_value is not None:
         return cfg_value
     cpus = _cluster_cpus()
-    return (1, max(2, int(cpus * frac)))
+    hi = max(2, int(cpus * frac))
+    lo = max(1, min(int(cpus * min_frac), hi, cpus - 1))
+    return (lo, hi)
 
 
 def broadcast_artifacts(artifacts: OntologyArtifacts, cfg: EngineConfig = DEFAULT_CONFIG):
@@ -93,15 +99,46 @@ def triples_dataset(
     artifacts: OntologyArtifacts,
     cfg: EngineConfig = DEFAULT_CONFIG,
     global_dedup: Optional[bool] = None,
+    fused: bool = True,
 ) -> rd.Dataset:
-    """Lazy triples Dataset for a corpus Dataset."""
+    """Lazy triples Dataset for a corpus Dataset.
+
+    ``fused=True`` (default, the measured-fast path) runs text-resolve +
+    extraction + linking + per-url dedup in ONE actor pool (stages/kg_stage)
+    so per-mention embedding vectors never enter the object store;
+    ``fused=False`` runs the modular two-pool pipeline (mentions Dataset →
+    Linker) — same output, used by mention-level queries and tests."""
+    if fused:
+        from ..stages.kg_stage import KGStage
+
+        artifacts_ref = ray.put(artifacts)
+        ds = corpus_ds.map_batches(
+            KGStage,
+            fn_constructor_kwargs={"artifacts": artifacts_ref, "cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=None,  # whole doc-aligned blocks → exact per-url dedup
+            concurrency=_pool(cfg.run.extractor_concurrency, 0.95, min_frac=0.9),
+            num_cpus=1,
+        )
+        if global_dedup is None:
+            global_dedup = cfg.run.global_dedup
+        if global_dedup:
+            ds = dedup_triples(ds)
+        return ds
+
     forms_ref, artifacts_ref = broadcast_artifacts(artifacts, cfg)
     ds = mentions_dataset(corpus_ds, forms_ref, cfg)
+    # batch_size=None → the Linker consumes whole mention BLOCKS.  Extractor
+    # batches are doc-aligned, so a url's mentions never straddle a linker
+    # batch — which makes the Linker's in-batch (subj,pred,obj) dedup
+    # globally exact under the corpus contract that urls are unique
+    # (SURVEY.md §4.3).  The groupby backstop below is therefore a
+    # validation pass, not a required hot-path shuffle.
     ds = ds.map_batches(
         Linker,
         fn_constructor_kwargs={"artifacts": artifacts_ref, "cfg": cfg.linker},
         batch_format="pyarrow",
-        batch_size=cfg.run.batch_size_mentions,
+        batch_size=None,
         concurrency=_pool(cfg.run.linker_concurrency, 0.5),
         num_cpus=1,
     )
@@ -120,13 +157,47 @@ def _keep_best(group: pa.Table) -> pa.Table:
     return group.take(order[:1])
 
 
+def _block_keep_best(batch: pa.Table) -> pa.Table:
+    """Vectorized keep-best-per-(subj,pred,obj) within ONE block: sort by
+    (key, -score, start), keep the first row of each key run."""
+    if batch.num_rows <= 1:
+        return batch
+    order = pc.sort_indices(
+        batch,
+        sort_keys=[
+            ("subj", "ascending"),
+            ("pred", "ascending"),
+            ("obj", "ascending"),
+            ("score", "descending"),
+            ("start", "ascending"),
+        ],
+    )
+    t = batch.take(order)
+    import numpy as np
+
+    n = t.num_rows
+    same = np.ones(n - 1, dtype=bool)  # row i+1 has the same key as row i
+    for name in ("subj", "pred", "obj"):
+        arr = np.asarray(t.column(name).to_pylist(), dtype=object)
+        same &= arr[1:] == arr[:-1]
+    mask = np.ones(n, dtype=bool)
+    mask[1:] = ~same
+    return t.filter(pa.array(mask))
+
+
 def dedup_triples(triples_ds: rd.Dataset) -> rd.Dataset:
     """Global exact-dedup backstop on (subj, pred, obj) — SURVEY.md §2.7 D3.
 
-    The key is url-dominated (near-unique, high cardinality) so the hash
-    shuffle is skew-safe (SURVEY.md §4.3); the Linker already pre-deduped
-    within batches, so this groupby only sees cross-batch duplicates."""
-    return triples_ds.groupby(["subj", "pred", "obj"]).map_groups(
+    The key is url-dominated (near-unique, high cardinality) so the shuffle
+    is skew-safe (SURVEY.md §4.3).  The hot path does not need this pass —
+    the Linker's in-batch dedup is exact because its batches are whole
+    doc-aligned blocks (see triples_dataset) — so this is a validation /
+    belt-and-braces stage: a vectorized in-block pre-dedup shrinks every
+    group to ≤ num_blocks rows before the groupby."""
+    pre = triples_ds.map_batches(
+        _block_keep_best, batch_format="pyarrow", batch_size=None
+    )
+    return pre.groupby(["subj", "pred", "obj"]).map_groups(
         _keep_best, batch_format="pyarrow"
     )
 

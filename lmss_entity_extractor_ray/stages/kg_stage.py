@@ -1,0 +1,95 @@
+"""Fused corpus→triples actor stage: text-resolve + mention extraction +
+linking + per-url dedup in ONE ``map_batches`` actor pool.
+
+Why fused (measured on the 200k-doc bench corpus): the split pipeline ships
+~2.7 GB of per-mention embedding vectors (fixed_size_list<float32,256>)
+through the object store from the extractor pool to the linker pool and pays
+two actor-pool ramp-ups; the vectors are consumed exactly once, immediately.
+Fusing keeps them in-process (numpy, never serialized), halves the actor
+count, and removes the inter-pool backpressure seam.  The unfused stages
+(mention_extractor.py, linker.py) remain the modular/debuggable path and
+feed the mention-level queries.
+
+Dedup exactness: batches are whole doc-aligned blocks, so all mentions of a
+url are linked together and the per-batch (subj, pred, obj) keep-best dedup
+is globally exact under the corpus contract that urls are unique
+(SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import pyarrow as pa
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..extraction.extractor import DocumentExtractor
+from ..functions.text import resolve_text
+from ..linking.core import LinkerCore, make_pred
+from .linker import TRIPLE_SCHEMA, triples_to_table
+
+
+def _resolve(ref_or_value):
+    try:
+        import ray
+
+        if isinstance(ref_or_value, ray.ObjectRef):
+            return ray.get(ref_or_value)
+    except ImportError:
+        pass
+    return ref_or_value
+
+
+class KGStage:
+    """__init__ once per actor: automaton + embedder cache + class matrix +
+    branch closure (reference singletons A1-A3, SURVEY.md §2.3)."""
+
+    def __init__(self, artifacts=None, cfg: EngineConfig = DEFAULT_CONFIG):
+        art = _resolve(artifacts)
+        self.extractor = DocumentExtractor(
+            art.gazetteer_surface_forms(cfg.extractor.min_gazetteer_label_chars),
+            cfg.extractor,
+        )
+        self.linker = LinkerCore(art, cfg.linker)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        htmls = (
+            batch.column("html").to_pylist()
+            if "html" in batch.column_names
+            else [None] * len(urls)
+        )
+
+        best: Dict[Tuple[str, str, str], dict] = {}
+        extract = self.extractor.extract
+        linker = self.linker
+        for url, text, html in zip(urls, texts, htmls):
+            for m in extract(resolve_text(text, html)):
+                match = linker.match_fast(m["text"], m["vector"])
+                if match is None:
+                    continue
+                match = linker.post_process(m["type"], match)
+                if match is None:
+                    continue
+                iri, label, score = match
+                branch = linker.branch(iri)
+                key = (url, make_pred(branch), iri)
+                cur = best.get(key)
+                if (
+                    cur is None
+                    or score > cur["score"]
+                    or (score == cur["score"] and m["start"] < cur["start"])
+                ):
+                    best[key] = {
+                        "subj": key[0],
+                        "pred": key[1],
+                        "obj": key[2],
+                        "branch": branch,
+                        "label": label,
+                        "score": score,
+                        "start": m["start"],
+                        "end": m["end"],
+                        "text": m["text"],
+                    }
+        return triples_to_table(list(best.values()))

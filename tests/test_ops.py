@@ -1,0 +1,331 @@
+"""Tests for the training-data ops layer (dedup / similarity / text stats /
+multimodal) — each op verified against an in-process brute-force oracle or
+DuckDB on the driver tables."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb_tbl():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text ops
+# ---------------------------------------------------------------------------
+
+class TestTextOps:
+    def test_token_counts(self, docs_ds, docs_tbl):
+        from lmss_entity_extractor_ray.ops.text_ops import token_counts
+
+        df = token_counts(docs_ds).to_pandas()
+        got = dict(zip(df["doc_id"].tolist(), df["n_tokens"].tolist()))
+        for i, t in zip(docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist()):
+            assert got[i] == len((t or "").split()), i
+
+    def test_token_counts_empty_and_null(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.text_ops import token_counts
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["", "   ", None, "one two"], pa.string()),
+            }
+        )
+        out = token_counts(rd.from_arrow(tbl)).to_pandas().set_index("doc_id")["n_tokens"]
+        assert out.to_dict() == {1: 0, 2: 0, 3: 0, 4: 2}
+
+    def test_quality_scores(self, docs_ds, docs_tbl):
+        from lmss_entity_extractor_ray.ops.text_ops import QUALITY_STOPWORDS, quality_scores
+
+        df = quality_scores(docs_ds).to_pandas().set_index("doc_id")
+        texts = dict(zip(docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist()))
+        stop = set(QUALITY_STOPWORDS)
+        for i in list(texts)[:50]:
+            t = texts[i]
+            toks = t.split()
+            assert df.loc[i, "len_chars"] == len(t)
+            assert df.loc[i, "n_tokens"] == len(toks)
+            sr = sum(1 for x in toks if x in stop) / len(toks)
+            assert df.loc[i, "stopword_ratio_e5"] == int(np.floor(sr * 100_000 + 0.5))
+
+    def test_lang_id_mostly_english(self, docs_ds):
+        from lmss_entity_extractor_ray.ops.text_ops import lang_id
+
+        df = lang_id(docs_ds).to_pandas()
+        # driver docs are English word salad; the profile scorer should call
+        # a clear majority en
+        assert (df["lang_pred"] == "en").mean() > 0.5
+
+    def test_fingerprint_deterministic_and_ws_insensitive(self):
+        from lmss_entity_extractor_ray.ops.text_ops import fingerprint_text
+
+        assert fingerprint_text("Hello  world") == fingerprint_text("hello world")
+        assert fingerprint_text("hello world") != fingerprint_text("world hello")
+        assert fingerprint_text("") == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def _near_dup_corpus():
+    """Synthetic corpus with planted near-duplicates (jaccard >= ~0.8)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"{base} unique{i} filler{i} more{i} text{i}"))
+    # planted dups: tiny perturbations of the same long text (word-boundary
+    # replace so only ONE token changes, not tok50..tok59)
+    long = " ".join(f"tok{j}" for j in range(60))
+    rows.append((100, long))
+    rows.append((101, long + " extra"))
+    rows.append((102, long.replace("tok5 ", "tok5x ")))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+class TestDedup:
+    def test_exact_dedup_groups(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_dedup_groups
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([5, 3, 9, 7], pa.int64()),
+                "text": pa.array(
+                    ["a b c d e f g", "a b c d e zzz", "x y", "x  y"], pa.string()
+                ),
+            }
+        )
+        df = exact_dedup_groups(rd.from_arrow(tbl)).to_pandas().set_index("dedup_key")
+        assert df.loc["a b c d e", "keep_id"] == 3 and df.loc["a b c d e", "n_dups"] == 2
+        assert df.loc["x y", "keep_id"] == 7 and df.loc["x y", "n_dups"] == 2
+
+    def test_exact_dedup_keep_first(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_dedup_keep
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([5, 3], pa.int64()),
+                "text": pa.array(["a b c", "a b c"], pa.string()),
+            }
+        )
+        df = exact_dedup_keep(rd.from_arrow(tbl)).to_pandas()
+        assert df["doc_id"].tolist() == [3]
+
+    def test_minhash_near_dup_vs_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import (
+            brute_force_jaccard_pairs,
+            near_dup_pairs_minhash,
+        )
+
+        tbl = _near_dup_corpus()
+        got = near_dup_pairs_minhash(rd.from_arrow(tbl), threshold=0.7)
+        got_pairs = {
+            (a, b)
+            for a, b in zip(
+                got.to_pandas()["a"].tolist(), got.to_pandas()["b"].tolist()
+            )
+        }
+        truth = {(a, b) for a, b, _ in brute_force_jaccard_pairs(tbl, 0.7)}
+        # precision exact (every returned pair verified), recall 1.0 for the
+        # planted high-jaccard dups (LSH s-curve ~1 at s>=0.8 with 16x4)
+        assert got_pairs <= truth or got_pairs == truth
+        assert {(100, 101), (100, 102), (101, 102)} <= got_pairs
+        assert got_pairs == truth
+
+    def test_simhash_near_dup_exact_blocking(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import simhash64, simhash_near_dup_pairs
+
+        tbl = _near_dup_corpus()
+        got = simhash_near_dup_pairs(rd.from_arrow(tbl), max_hamming=3).to_pandas()
+        got_pairs = set(zip(got["a"].tolist(), got["b"].tolist()))
+        # brute-force oracle
+        ids = tbl.column("doc_id").to_pylist()
+        sigs = {i: simhash64(t) for i, t in zip(ids, tbl.column("text").to_pylist())}
+        truth = set()
+        for x, y in itertools.combinations(sorted(ids), 2):
+            d = bin((sigs[x] ^ sigs[y]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                truth.add((x, y))
+        assert got_pairs == truth  # blocking is exact for hamming <= 3
+
+    def test_embedding_near_dup_vs_bruteforce(self, ray_session, emb_ds, emb_tbl):
+        from lmss_entity_extractor_ray.ops.dedup import embedding_near_dup_pairs
+
+        got = embedding_near_dup_pairs(emb_ds, threshold=0.4).to_pandas()
+        got_pairs = set(zip(got["a"].tolist(), got["b"].tolist()))
+        ids = np.array(emb_tbl.column("vec_id").to_pylist())
+        mat = np.array(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = unit @ unit.T
+        truth = set()
+        n = len(ids)
+        for i in range(n):
+            for j in range(n):
+                if ids[i] < ids[j] and cos[i, j] >= 0.4:
+                    truth.add((int(ids[i]), int(ids[j])))
+        assert got_pairs == truth
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+class TestSimilarity:
+    def _brute(self, emb_tbl, q, k):
+        ids = np.array(emb_tbl.column("vec_id").to_pylist())
+        mat = np.array(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+        qv = q / np.linalg.norm(q)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1
+        cos = (mat @ qv) / norms
+        e5 = np.floor(cos * 100_000 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, -e5))
+        return [(int(ids[i]), int(e5[i])) for i in order[:k]]
+
+    def test_brute_force_topk(self, ray_session, emb_ds, emb_tbl):
+        from lmss_entity_extractor_ray.ops.similarity import brute_force_topk
+
+        q = np.array(emb_tbl.column("embedding")[7].as_py(), dtype=np.float64)
+        df = brute_force_topk(emb_ds, q, k=10).to_pandas()
+        got = list(zip(df["vec_id"].tolist(), df["cos_e5"].tolist()))
+        assert got == self._brute(emb_tbl, q, 10)
+
+    def test_lsh_topk_recall(self, ray_session, emb_ds, emb_tbl):
+        from lmss_entity_extractor_ray.ops.similarity import lsh_topk
+
+        q = np.array(emb_tbl.column("embedding")[7].as_py(), dtype=np.float64)
+        truth_ids = {i for i, _ in self._brute(emb_tbl, q, 10)}
+        df = lsh_topk(emb_ds, q, k=10, hamming_radius=2).to_pandas()
+        got_ids = set(df["vec_id"].tolist())
+        # approximate: the query's own vector must be found; recall loosely gated
+        assert len(got_ids & truth_ids) >= 3
+        assert emb_tbl.column("vec_id")[7].as_py() in got_ids
+
+    def test_lsh_bucketed_adds_column(self, ray_session, emb_ds):
+        from lmss_entity_extractor_ray.ops.similarity import lsh_bucketed
+
+        df = lsh_bucketed(emb_ds, dim=64).limit(5).to_pandas()
+        assert "bucket" in df.columns
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+class TestMultimodal:
+    def test_decode_features(self, ray_session, docs_ds, docs_tbl):
+        import hashlib
+
+        from lmss_entity_extractor_ray.ops.multimodal import (
+            decode_features,
+            payloads_from_documents,
+        )
+
+        df = decode_features(payloads_from_documents(docs_ds)).to_pandas().set_index("item_id")
+        texts = dict(zip(docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist()))
+        for i in list(texts)[:20]:
+            raw = texts[i].encode("utf-8")
+            assert df.loc[i, "payload_sha256"] == hashlib.sha256(raw).hexdigest()
+            assert df.loc[i, "payload_bytes"] == len(raw)
+            assert 64 <= df.loc[i, "width"] < 64 + 1024
+
+    def test_real_decode_seam_raises(self):
+        from lmss_entity_extractor_ray.ops.multimodal import real_decode
+
+        with pytest.raises(NotImplementedError):
+            real_decode(b"x", "image/png")
+
+
+# ---------------------------------------------------------------------------
+# relational coverage vs DuckDB
+# ---------------------------------------------------------------------------
+
+class TestRelationalVsDuckDB:
+    @pytest.fixture(scope="class")
+    def con(self):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in "customer supplier part orders lineitem events nation".split():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        return con
+
+    def _cmp(self, ds, sql, con):
+        import pandas as pd
+
+        a = ds.to_pandas()
+        b = con.sql(sql).df()
+        a = a[sorted(a.columns)].sort_values(sorted(a.columns)).reset_index(drop=True)
+        b = b[sorted(b.columns)].sort_values(sorted(b.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_pricing_summary(self, ray_session, con):
+        import ray.data as rd
+
+        import __ray_entry__ as e
+
+        self._cmp(e.queries()["pricing_summary"](SF), e.oracle_sql()["pricing_summary"], con)
+
+    def test_top_customers(self, ray_session, con):
+        import __ray_entry__ as e
+
+        self._cmp(e.queries()["top_customers"](SF), e.oracle_sql()["top_customers"], con)
+
+    def test_events_by_type(self, ray_session, con):
+        import __ray_entry__ as e
+
+        self._cmp(e.queries()["events_by_type"](SF), e.oracle_sql()["events_by_type"], con)
+
+    def test_supplier_balance(self, ray_session, con):
+        import __ray_entry__ as e
+
+        self._cmp(
+            e.queries()["supplier_balance_by_nation"](SF),
+            e.oracle_sql()["supplier_balance_by_nation"],
+            con,
+        )

@@ -44,6 +44,16 @@ class TestGoldenE2E:
         # with shared deterministic functions the match should be exact
         assert ray_keys == ora_keys
 
+    def test_fused_equals_modular_and_backstop(self, ray_session, artifacts, corpus_files, ray_triples):
+        """fused in-batch dedup == modular two-pool path == groupby backstop."""
+        import ray.data as rd
+
+        for kwargs in ({"fused": False}, {"fused": True, "global_dedup": True}):
+            ds = triples_dataset(read_corpus(corpus_files), artifacts, **kwargs)
+            other = pa.Table.from_pandas(ds.to_pandas())
+            assert triple_key_set(other) == triple_key_set(ray_triples), kwargs
+            assert other.num_rows == ray_triples.num_rows, kwargs
+
     def test_triples_nonempty_and_schema(self, ray_triples):
         assert ray_triples.num_rows > 0
         assert set(ray_triples.column_names) == {

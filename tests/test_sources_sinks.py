@@ -1,0 +1,95 @@
+"""Document-format dispatcher (M12/S5-S7) and N-Triples exporter (S9)."""
+
+import pyarrow as pa
+import pytest
+
+
+class TestDispatcher:
+    def _table(self):
+        return pa.table(
+            {
+                "doc_key": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "payload": pa.array(
+                    [
+                        b"plain text body",
+                        b"<html><body><p>hello <b>world</b></p></body></html>",
+                        b"%PDF-1.4 ...",
+                        b"PK docx bytes",
+                        b"legacy",
+                    ],
+                    pa.binary(),
+                ),
+                "kind": pa.array(["txt", "html", "pdf", "docx", "doc"], pa.string()),
+            }
+        )
+
+    def test_dispatch(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.sources.documents import extract_documents
+
+        df = extract_documents(rd.from_arrow(self._table())).to_pandas().set_index("doc_key")
+        assert df.loc[1, "text"] == "plain text body" and df.loc[1, "quarantine"] is None
+        assert df.loc[2, "text"] == "hello world" and df.loc[2, "quarantine"] is None
+        # stubbed formats quarantine instead of raising
+        assert df.loc[3, "text"] is None and "PyPDF2" in df.loc[3, "quarantine"]
+        assert df.loc[4, "text"] is None and "docx" in df.loc[4, "quarantine"]
+        # unknown kind rejected like the reference's .doc branch (app/main.py:224-227)
+        assert df.loc[5, "text"] is None and "unsupported" in df.loc[5, "quarantine"]
+        assert "payload" not in df.columns  # fat column dropped
+
+    def test_register_extractor(self):
+        from lmss_entity_extractor_ray.sources.documents import extract_text, register_extractor
+
+        register_extractor("rot13", lambda b: b.decode().translate(
+            str.maketrans(
+                "abcdefghijklmnopqrstuvwxyz", "nopqrstuvwxyzabcdefghijklm"
+            )
+        ))
+        text, q = extract_text(b"uryyb", "rot13")
+        assert text == "hello" and q is None
+
+    def test_malformed_payload_quarantines(self):
+        from lmss_entity_extractor_ray.sources.documents import extract_text, register_extractor
+
+        def boom(b):
+            raise ValueError("corrupt")
+
+        register_extractor("bad", boom)
+        text, q = extract_text(b"x", "bad")
+        assert text is None and "ValueError" in q
+
+
+class TestNTriples:
+    def test_lines_and_escape(self):
+        from lmss_entity_extractor_ray.sinks.ntriples import to_ntriples_table
+
+        t = pa.table(
+            {
+                "subj": pa.array(["http://a/1", 'http://a/"q"'], pa.string()),
+                "pred": pa.array(["http://p", "http://p"], pa.string()),
+                "obj": pa.array(["http://o", "http://o\n2"], pa.string()),
+            }
+        )
+        lines = to_ntriples_table(t).column("text").to_pylist()
+        assert lines[0] == "<http://a/1> <http://p> <http://o> ."
+        assert '\\"q\\"' in lines[1] and "\\n" in lines[1]
+
+    def test_write_ntriples(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.sinks.ntriples import write_ntriples
+
+        t = pa.table(
+            {
+                "subj": pa.array(["s1", "s2"], pa.string()),
+                "pred": pa.array(["p", "p"], pa.string()),
+                "obj": pa.array(["o1", "o2"], pa.string()),
+            }
+        )
+        out = str(tmp_path / "nt")
+        write_ntriples(rd.from_arrow(t), out)
+        import glob
+
+        content = "".join(open(f).read() for f in glob.glob(out + "/*"))
+        assert "<s1> <p> <o1> ." in content and "<s2> <p> <o2> ." in content
