@@ -28,10 +28,21 @@ class DocumentExtractor:
         self,
         surface_forms: Optional[List[str]] = None,
         cfg: ExtractorConfig = ExtractorConfig(),
+        plugins: Optional[List] = None,
     ):
         self.cfg = cfg
         self.automaton = AhoCorasick(surface_forms) if surface_forms else None
         self._embed_cache: Dict[str, np.ndarray] = {}
+        # mention-source plugins: callables text -> [(text, start, end, type)]
+        # — the engine's equivalent of the reference's spaCy component hook
+        # (@Language.component("combined_extractor"),
+        # app/entity_extraction.py:112-147; SURVEY.md §2.10).  Plugin spans
+        # join the candidate streams BEFORE the merge, so they obey the same
+        # precedence/merge semantics as the built-in sources.
+        self.plugins: List = list(plugins or [])
+
+    def register_plugin(self, fn) -> None:
+        self.plugins.append(fn)
 
     def _embed(self, text: str) -> np.ndarray:
         vec = self._embed_cache.get(text)
@@ -47,11 +58,20 @@ class DocumentExtractor:
         ``[]`` (guard, app/entity_extraction.py:160-162)."""
         if not text or not text.strip():
             return []
-        candidates = all_candidates(
-            text,
-            self.automaton,
-            top_keywords=self.cfg.top_keywords,
-            max_noun_phrase_tokens=self.cfg.max_noun_phrase_tokens,
+        # plugin spans go FIRST: merge_spans sorts by (start, -end) with a
+        # stable tie-break on list position, and the reference gives its NER
+        # stream front position (app/entity_extraction.py:146) — plugins are
+        # additional first-class sources, so they take that slot too.
+        candidates: List = []
+        for plugin in self.plugins:
+            candidates.extend(plugin(text))
+        candidates.extend(
+            all_candidates(
+                text,
+                self.automaton,
+                top_keywords=self.cfg.top_keywords,
+                max_noun_phrase_tokens=self.cfg.max_noun_phrase_tokens,
+            )
         )
         merged = merge_spans(candidates)
 

@@ -51,32 +51,58 @@ def _scale_cols(ds: rd.Dataset, cols: Dict[str, int], rename: Dict[str, str]) ->
 
 def pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:
     """TPC-H Q1-flavored groupby: per (returnflag, linestatus) sums/avgs.
-    Ray's groupby aggregates combine partials per block before the shuffle."""
-    disc_price = lambda b: pc.multiply(  # noqa: E731
-        b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
-    )
 
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    Map-side partial aggregation: each block collapses to ≤ |groups| rows
+    via Arrow's C++ ``Table.group_by`` BEFORE the shuffle, so the global
+    groupby moves a handful of rows per block instead of the whole table —
+    the pre-aggregate-inside-map_batches pattern every Zipf/low-cardinality
+    key aggregate should use at scale."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
                 "l_quantity": batch.column("l_quantity"),
                 "l_extendedprice": batch.column("l_extendedprice"),
-                "disc_price": disc_price(batch),
+                "disc_price": pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_cnt"]
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": batch.column("sum_qty"),
+                "sum_base_price": batch.column("sum_base_price"),
+                "sum_disc_price": batch.column("sum_disc_price"),
+                "avg_qty": pc.divide(
+                    batch.column("sum_qty"), batch.column("count_order").cast(pa.float64())
+                ),
+                "count_order": batch.column("count_order"),
             }
         )
 
     agg = (
-        lineitem.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        lineitem.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_cnt", alias_name="count_order"),
         )
+        .map_batches(finalize, batch_format="pyarrow")
         .sort(["l_returnflag", "l_linestatus"])
     )
     return _scale_cols(
@@ -121,14 +147,23 @@ def top_customers(orders: rd.Dataset, customer: rd.Dataset, k: int = 10) -> rd.D
 
 
 def events_by_type(events: rd.Dataset) -> rd.Dataset:
-    """Per event_type count + value stats (the events stream table)."""
+    """Per event_type count + value stats (the events stream table).
+    Same map-side partial-aggregation pattern as pricing_summary."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"]).aggregate(
+            [("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max")]
+        )
+        return g.rename_columns(["event_type", "p_n", "p_sum", "p_min", "p_max"])
+
     agg = (
-        events.groupby("event_type")
+        events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
         .aggregate(
-            Count(alias_name="n"),
-            Sum("value", alias_name="sum_value"),
-            Min("value", alias_name="min_value"),
-            Max("value", alias_name="max_value"),
+            Sum("p_n", alias_name="n"),
+            Sum("p_sum", alias_name="sum_value"),
+            Min("p_min", alias_name="min_value"),
+            Max("p_max", alias_name="max_value"),
         )
         .sort("event_type")
     )
