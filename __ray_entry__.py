@@ -204,6 +204,18 @@ def _q_multimodal_decode(sf_dir: str):
     return ds.select_columns(["item_id", "media_type", "payload_sha256", "payload_bytes"])
 
 
+def _q_knn_top1(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.similarity import knn_top1
+
+    return knn_top1(_read(sf_dir, "embeddings"))
+
+
+def _q_events_hourly(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.windows import tumbling_window_agg
+
+    return tumbling_window_agg(_read(sf_dir, "events", ["ts", "event_type", "value"]))
+
+
 def _q_pricing_summary(sf_dir: str):
     from lmss_entity_extractor_ray.ops.relational import pricing_summary
 
@@ -267,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
+        "knn_top1": _q_knn_top1,
+        # event-time windowed aggregate
+        "events_hourly": _q_events_hourly,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal_decode,
         # generic relational coverage
@@ -329,6 +344,29 @@ def oracle_sql() -> dict[str, str]:
                               * 100000 + 0.5) AS BIGINT) AS cos_e5
             FROM embeddings e2, q
             ORDER BY cos_e5 DESC, vec_id LIMIT 10
+        """,
+        "knn_top1": """
+            SELECT vec_id, nn_id, cos_e5 FROM (
+                SELECT a.vec_id,
+                       b.vec_id AS nn_id,
+                       CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                         CAST(b.embedding AS DOUBLE[]))
+                                  * 100000 + 0.5) AS BIGINT) AS cos_e5,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                                    b.vec_id
+                       ) AS rn
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ) WHERE rn = 1
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_c2
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "multimodal_decode": """
             SELECT doc_id AS item_id,

@@ -60,6 +60,50 @@ def brute_force_topk(emb_ds: rd.Dataset, query: Sequence[float], k: int = 10) ->
     )
 
 
+def knn_top1(emb_ds: rd.Dataset) -> rd.Dataset:
+    """Each vector's nearest OTHER vector by cosine (a kNN self-join, k=1).
+
+    Broadcast pattern: the full unit-normalized matrix (sorted by vec_id for
+    deterministic argmax tie-breaks) is ``ray.put`` once; each batch does one
+    [B, N] matmul.  Scale path: LSH-bucket both sides (lsh_bucketed) and
+    join within buckets."""
+    import pyarrow as _pa
+
+    rows = _pa.concat_tables([ray.get(r) for r in emb_ds.to_arrow_refs()])
+    ids = np.asarray(rows.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.asarray(rows.column("embedding").to_pylist(), dtype=np.float64)[order]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    ids_ref, unit_ref = ray.put(ids), ray.put(unit)
+
+    def top1(batch: pa.Table) -> pa.Table:
+        all_ids, all_unit = ray.get(ids_ref), ray.get(unit_ref)
+        b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        b_mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(b_mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        cos = (b_mat / n) @ all_unit.T
+        # mask self-matches, then argmax (ties → lowest index = lowest vec_id)
+        for i, vid in enumerate(b_ids):
+            j = np.searchsorted(all_ids, vid)
+            if j < len(all_ids) and all_ids[j] == vid:
+                cos[i, j] = -np.inf
+        best = np.argmax(cos, axis=1)
+        best_cos = cos[np.arange(len(b_ids)), best]
+        return pa.table(
+            {
+                "vec_id": pa.array(b_ids, pa.int64()),
+                "nn_id": pa.array(all_ids[best], pa.int64()),
+                "cos_e5": pa.array(_e5(best_cos), pa.int64()),
+            }
+        )
+
+    return emb_ds.map_batches(top1, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH bucketing (IVF-style scale path)
 # ---------------------------------------------------------------------------

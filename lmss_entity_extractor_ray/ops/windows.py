@@ -1,0 +1,57 @@
+"""Event-time tumbling-window aggregation over the events stream table.
+
+The reference has no streaming semantics (SURVEY.md §2.9); this is the
+bounded-batch equivalent a training-data pipeline needs: truncate event time
+to a window, aggregate per (window, key).  Map-side partials (Arrow C++
+``group_by`` per block) collapse each block to ≤ |windows × keys| rows before
+the global shuffle, so the exchange volume is bounded by the window/key
+cardinality, not the event count.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def tumbling_window_agg(
+    events: rd.Dataset, unit: str = "hour", key: str = "event_type"
+) -> rd.Dataset:
+    """(window_start, key) → n events + sum_value_c2 (portable scaled int)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # window_start ships as an ISO string: pandas/DuckDB timestamp dtypes
+        # (ns vs us) don't hash-compare portably
+        win = pc.strftime(
+            pc.floor_temporal(batch.column("ts"), unit=unit).cast(pa.timestamp("s")),
+            "%Y-%m-%d %H:%M:%S",
+        )
+        t = pa.table(
+            {
+                "window_start": win,
+                key: batch.column(key),
+                "value": batch.column("value"),
+            }
+        )
+        g = t.group_by(["window_start", key]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(["window_start", key, "p_n", "p_sum"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        scaled = pc.floor(
+            pc.add(pc.multiply(batch.column("sum_value"), 100.0), 0.5)
+        ).cast(pa.int64())
+        idx = batch.column_names.index("sum_value")
+        return batch.set_column(idx, "sum_value_c2", scaled)
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", key])
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_sum", alias_name="sum_value"))
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort(["window_start", key])
+    )

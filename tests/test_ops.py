@@ -246,11 +246,56 @@ class TestSimilarity:
         assert len(got_ids & truth_ids) >= 3
         assert emb_tbl.column("vec_id")[7].as_py() in got_ids
 
+    def test_knn_top1_vs_bruteforce(self, ray_session, emb_ds, emb_tbl):
+        from lmss_entity_extractor_ray.ops.similarity import knn_top1
+
+        df = knn_top1(emb_ds).to_pandas().set_index("vec_id")
+        ids = np.array(emb_tbl.column("vec_id").to_pylist())
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)[order]
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = unit @ unit.T
+        np.fill_diagonal(cos, -np.inf)
+        for i in range(len(ids)):
+            j = int(np.argmax(cos[i]))
+            assert df.loc[int(ids[i]), "nn_id"] == int(ids[j])
+            assert df.loc[int(ids[i]), "cos_e5"] == int(np.floor(cos[i, j] * 100_000 + 0.5))
+
     def test_lsh_bucketed_adds_column(self, ray_session, emb_ds):
         from lmss_entity_extractor_ray.ops.similarity import lsh_bucketed
 
         df = lsh_bucketed(emb_ds, dim=64).limit(5).to_pandas()
         assert "bucket" in df.columns
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregate
+# ---------------------------------------------------------------------------
+
+class TestWindows:
+    def test_tumbling_window_vs_pandas(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.windows import tumbling_window_agg
+
+        tbl = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+        got = tumbling_window_agg(rd.from_arrow(tbl)).to_pandas()
+        pdf = tbl.to_pandas()
+        pdf["window_start"] = pdf["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        exp = (
+            pdf.groupby(["window_start", "event_type"])["value"]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        merged = got.merge(exp, on=["window_start", "event_type"], how="outer")
+        assert len(merged) == len(got) == len(exp)
+        assert (merged["n"] == merged["count"]).all()
+        assert (
+            merged["sum_value_c2"] == np.floor(merged["sum"] * 100 + 0.5).astype(np.int64)
+        ).all()
 
 
 # ---------------------------------------------------------------------------
