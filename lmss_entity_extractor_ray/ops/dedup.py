@@ -130,7 +130,10 @@ def minhash_signature(shingles: Set[int], a: np.ndarray, b: np.ndarray) -> np.nd
 
 class MinHasher:
     """Actor-pool stage: doc → LSH band rows (band_id, band_hash, doc_id).
-    Permutation params are built once per actor in __init__."""
+    Permutation params are built once per actor in __init__; signatures and
+    band hashes are computed for the WHOLE batch in a handful of numpy ops
+    (one [total_shingles, num_perm] broadcast + minimum.reduceat), not per
+    doc."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         assert num_perm % bands == 0
@@ -139,21 +142,41 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
 
+    def _signatures(self, texts) -> np.ndarray:
+        """[n_docs, num_perm] uint64 signature matrix, vectorized."""
+        per_doc = []
+        for text in texts:
+            sh = word_shingles(text, self.shingle_k)
+            per_doc.append(
+                np.fromiter(sh, dtype=np.uint64, count=len(sh))
+                if sh
+                else np.array([0], dtype=np.uint64)  # empty doc sentinel
+            )
+        lens = np.array([len(x) for x in per_doc])
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        h = np.concatenate(per_doc)
+        sig_all = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return np.minimum.reduceat(sig_all, starts, axis=0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_doc, out_band, out_hash = [], [], []
-        ids = batch.column("doc_id").to_pylist()
-        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
-            sig = minhash_signature(word_shingles(text, self.shingle_k), self.a, self.b)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_hash.append(int(_hash_band(chunk)))
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        sigs = self._signatures(batch.column("text").to_pylist())
+        n, r, bands = len(ids), self.rows_per_band, self.bands
+        # polynomial band hash over each band's r contiguous rows,
+        # vectorized over docs
+        P = np.uint64(1_000_003)
+        M = np.uint64(_MERSENNE)
+        band_hash = np.zeros((n, bands), dtype=np.uint64)
+        for band in range(bands):
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(r):
+                acc = (acc * P + sigs[:, band * r + j]) % M
+            band_hash[:, band] = acc
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64), pa.int64()),
             }
         )
 
@@ -165,24 +188,75 @@ def _hash_band(chunk: np.ndarray) -> int:
     return h
 
 
+def _minhash_band_rows(
+    batch: pa.Table, num_perm: int = 64, bands: int = 16, shingle_k: int = 3
+) -> pa.Table:
+    """Task-friendly wrapper: params are deterministic from the seed, so
+    rebuilding MinHasher per task costs microseconds."""
+    return MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k)(batch)
+
+
 def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                             shingle_k: int = 3) -> rd.Dataset:
     """Distinct candidate pairs (a < b) sharing at least one LSH bucket.
 
-    groupby(band, band_hash) keys are uniform hash buckets — no skew salt
-    needed; a pathological bucket (identical boilerplate docs) is the one
-    case to watch, so buckets are capped at 256 members (log-dropped)."""
-    band_rows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-        batch_format="pyarrow",
-        concurrency=2,
+    Almost every (band, band_hash) bucket is a singleton, and per-group
+    Python (``map_groups``) costs ~0.6 ms/group — so buckets are first
+    COUNTED with a vectorized aggregate (Arrow partials + Sum), the few keys
+    with ≥2 members are broadcast, and only matching band rows (a tiny
+    fraction) reach the pair-emitting groupby.  Buckets are capped at 256
+    members (identical-boilerplate pathologies would emit O(n²) pairs)."""
+    import functools
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    # Stateless TASKS, not an actor pool: MinHasher state is ~1 KB of
+    # permutation params (rebuilt per task for free), and task pools have no
+    # ramp-up lag.  Single-file inputs arrive as ONE block — split first so
+    # there is parallel work.
+    fn = functools.partial(
+        _minhash_band_rows, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
+    band_rows = ds.repartition(cpus * 2).map_batches(fn, batch_format="pyarrow")
+    # band rows are narrow (3 ints/row x bands per doc); materialize once so
+    # the count pass and the pair pass don't both re-run the minhash
+    band_rows = band_rows.materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["band", "band_hash"]).aggregate([("doc_id", "count")])
+        return g.rename_columns(["band", "band_hash", "p_cnt"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        band_rows.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .aggregate(Sum("p_cnt", alias_name="n"))
+    )
+    hot: set = set()
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        mask = pc.and_(pc.greater_equal(b.column("n"), 2), pc.less_equal(b.column("n"), 256))
+        sel = b.filter(mask)
+        hot.update(zip(sel.column("band").to_pylist(), sel.column("band_hash").to_pylist()))
+    if not hot:
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "n_buckets": pa.array([], pa.int64())})
+        )
+    hot_ref = ray.put(hot)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hot_keys = ray.get(hot_ref)
+        keep = [
+            (b, h) in hot_keys
+            for b, h in zip(batch.column("band").to_pylist(), batch.column("band_hash").to_pylist())
+        ]
+        return batch.filter(pa.array(keep))
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group.column("doc_id").to_pylist())
-        if len(ids) < 2 or len(ids) > 256:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         pairs = list(itertools.combinations(ids, 2))
         return pa.table(
             {
@@ -191,10 +265,12 @@ def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
             }
         )
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pyarrow"
+    pairs = (
+        band_rows.map_batches(keep_hot, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pyarrow")
     )
-    # distinct across bands: one shuffle on the (a, b) pair key
+    # distinct across bands: one (small) shuffle on the pair key
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_buckets"))
 
 
@@ -211,16 +287,46 @@ def near_dup_pairs_minhash(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    distributed_candidates: bool = False,
 ) -> rd.Dataset:
     """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard.
 
-    Verification broadcasts ONLY the shingle sets of docs appearing in
-    candidate pairs (tiny vs the corpus); at extreme scale swap for a
-    hash-partitioned join of (candidate doc_id → shingles)."""
-    cands = minhash_candidate_pairs(docs_ds, num_perm, bands, shingle_k)
-    cand_tbl = cands.to_arrow_refs()
-    cand = pa.concat_tables([ray.get(r) for r in cand_tbl])
-    need: Set[int] = set(cand.column("a").to_pylist()) | set(cand.column("b").to_pylist())
+    Default path: ONE distributed pass computes band rows (16 narrow int
+    rows per doc); bucket grouping + pair enumeration run driver-side on
+    that pre-shrunk set — each extra Dataset execution costs ~1-2 s of fixed
+    overhead, which dwarfs this work below ~10^8 docs.  Set
+    ``distributed_candidates=True`` (or use minhash_candidate_pairs
+    directly) for the groupby-shuffle variant when band rows outgrow the
+    driver.  Verification broadcasts ONLY the shingle sets of docs appearing
+    in candidate pairs (tiny vs the corpus)."""
+    if distributed_candidates:
+        cands = minhash_candidate_pairs(docs_ds, num_perm, bands, shingle_k)
+        cand = pa.concat_tables([ray.get(r) for r in cands.to_arrow_refs()])
+        cand_pairs = set(zip(cand.column("a").to_pylist(), cand.column("b").to_pylist()))
+    else:
+        import functools
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        fn = functools.partial(
+            _minhash_band_rows, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        )
+        band_rows = docs_ds.repartition(cpus * 2).map_batches(fn, batch_format="pyarrow")
+        buckets: Dict[Tuple[int, int], List[int]] = {}
+        for b in band_rows.iter_batches(batch_format="pyarrow"):
+            for d, band, h in zip(
+                b.column("doc_id").to_pylist(),
+                b.column("band").to_pylist(),
+                b.column("band_hash").to_pylist(),
+            ):
+                buckets.setdefault((band, h), []).append(d)
+        cand_pairs = set()
+        for ids in buckets.values():
+            if 2 <= len(ids) <= 256:
+                cand_pairs.update(itertools.combinations(sorted(ids), 2))
+    need: Set[int] = {d for p in cand_pairs for d in p}
     if not need:
         return rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -245,11 +351,10 @@ def near_dup_pairs_minhash(
         for i, b in zip(sh_tbl.column("doc_id").to_pylist(), sh_tbl.column("shingles").to_pylist())
     }
     rows = []
-    for a, b in zip(cand.column("a").to_pylist(), cand.column("b").to_pylist()):
+    for a, b in sorted(cand_pairs):
         j = jaccard(sh_map[a], sh_map[b])
         if j >= threshold:
             rows.append((a, b, round(j, 5)))
-    rows.sort()
     return rd.from_arrow(
         pa.table(
             {

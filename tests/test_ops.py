@@ -173,6 +173,18 @@ class TestDedup:
         assert {(100, 101), (100, 102), (101, 102)} <= got_pairs
         assert got_pairs == truth
 
+    def test_minhash_distributed_candidates_parity(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import near_dup_pairs_minhash
+
+        tbl = _near_dup_corpus()
+        a = near_dup_pairs_minhash(rd.from_arrow(tbl), threshold=0.7).to_pandas()
+        b = near_dup_pairs_minhash(
+            rd.from_arrow(tbl), threshold=0.7, distributed_candidates=True
+        ).to_pandas()
+        assert sorted(zip(a["a"], a["b"])) == sorted(zip(b["a"], b["b"]))
+
     def test_simhash_near_dup_exact_blocking(self, ray_session):
         import itertools
 
