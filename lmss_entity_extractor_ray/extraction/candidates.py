@@ -112,17 +112,26 @@ def noun_phrase_spans(text: str, max_tokens: int = 6, toks=None) -> List[Span]:
 def keyword_spans(text: str, top_k: int = 10) -> List[Span]:
     """Term-frequency top-k keywords over the lowercased document (ties break
     alphabetically), each located at every word-boundary occurrence in the
-    lowercased text (mirrors app/entity_extraction.py:127-143)."""
+    lowercased text (mirrors app/entity_extraction.py:127-143).
+
+    Single pass: one tokenizing scan collects both frequencies and offsets —
+    keywords come from the same ``\\b\\w\\w+\\b`` tokenization, so a token's
+    occurrence positions ARE its word-boundary match positions (no
+    per-keyword re-scan of the document)."""
     lower = text.lower()
-    terms = [t for t in KEYWORD_TOKEN_RE.findall(lower) if t not in STOP_WORDS and not t.isdigit()]
-    if not terms:
+    positions: dict = {}
+    for m in KEYWORD_TOKEN_RE.finditer(lower):
+        t = m.group(0)
+        if t in STOP_WORDS or t.isdigit():
+            continue
+        positions.setdefault(t, []).append((m.start(), m.end()))
+    if not positions:
         return []
-    tf = Counter(terms)
-    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    ranked = sorted(positions.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:top_k]
     out: List[Span] = []
-    for kw, _ in ranked:
-        for m in re.finditer(r"\b" + re.escape(kw) + r"\b", lower):
-            out.append((kw, m.start(), m.end(), "KEYWORD"))
+    for kw, occs in ranked:
+        for s, e in occs:
+            out.append((kw, s, e, "KEYWORD"))
     return out
 
 
