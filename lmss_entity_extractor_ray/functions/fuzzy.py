@@ -63,11 +63,20 @@ def token_sort_ratio(a: str, b: str) -> int:
     return ratio(" ".join(sorted(_tokens(a))), " ".join(sorted(_tokens(b))))
 
 
-@lru_cache(maxsize=500_000)
-def token_set_ratio(a: str, b: str) -> int:
-    """Set-partition ratio: split tokens into intersection and the two
-    differences; max over the three pairwise combined-string ratios."""
-    ta, tb = set(_tokens(a)), set(_tokens(b))
+def _ratio_upper_bound(a: str, b: str) -> float:
+    """2*min(len)/(len+len) — an upper bound on SequenceMatcher.ratio()
+    (matches can't exceed the shorter string's length)."""
+    la, lb = len(a), len(b)
+    if la + lb == 0:
+        return 1.0
+    return 2.0 * min(la, lb) / (la + lb)
+
+
+def token_set_ratio_sets(ta, tb) -> int:
+    """token_set_ratio on pre-tokenized sets.  Identical output to the
+    string version (round is monotone, so rounding the float max equals the
+    max of rounded ratios); the cheap length bound skips SequenceMatcher
+    calls that cannot raise the max."""
     inter = sorted(ta & tb)
     diff_a = sorted(ta - tb)
     diff_b = sorted(tb - ta)
@@ -76,8 +85,19 @@ def token_set_ratio(a: str, b: str) -> int:
     s_a = (s_inter + " " + " ".join(diff_a)).strip()
     s_b = (s_inter + " " + " ".join(diff_b)).strip()
 
-    return max(
-        ratio(s_inter, s_a),
-        ratio(s_inter, s_b),
-        ratio(s_a, s_b),
-    )
+    pairs = ((s_inter, s_a), (s_inter, s_b), (s_a, s_b))
+    best = -1.0
+    for x, y in sorted(pairs, key=lambda p: -_ratio_upper_bound(*p)):
+        if _ratio_upper_bound(x, y) <= best:
+            break
+        r = _ratio_float(x, y)
+        if r > best:
+            best = r
+    return int(round(100 * best))
+
+
+@lru_cache(maxsize=500_000)
+def token_set_ratio(a: str, b: str) -> int:
+    """Set-partition ratio: split tokens into intersection and the two
+    differences; max over the three pairwise combined-string ratios."""
+    return token_set_ratio_sets(set(_tokens(a)), set(_tokens(b)))

@@ -37,7 +37,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import LMSS_NS, LinkerConfig
-from ..functions.fuzzy import token_set_ratio
+from ..functions.fuzzy import _tokens, token_set_ratio, token_set_ratio_sets
 from ..ontology.artifacts import OntologyArtifacts
 
 Match = Tuple[str, str, float]  # (iri, label, score)
@@ -59,6 +59,11 @@ class LinkerCore:
         self.row_iris: List[str] = [artifacts.iris[i] for i in idx]
         self.row_labels: List[str] = [artifacts.labels[i] for i in idx]
         self.row_labels_lower: List[str] = [s.lower() for s in self.row_labels]
+        # pre-tokenized label sets: tokenizing the label on every fuzzy call
+        # is pure waste (labels are fixed per actor lifetime)
+        self.row_label_tokens: List[frozenset] = [
+            frozenset(_tokens(s)) for s in self.row_labels_lower
+        ]
         self.branch_of: Dict[str, str] = artifacts.branch_of
         self._cache: Dict[str, Match] = {}
 
@@ -107,22 +112,36 @@ class LinkerCore:
             r = int(np.argmax(high))  # FIRST qualifying class in index order
             return (self.row_iris[r], self.row_labels[r], float(cos[r]))
 
+        # The naive scan's winner is order-independent: the LOWEST index among
+        # argmax(combined), accepted iff >= threshold (strict-> updates from a
+        # 0.0 floor == first index achieving the max, and only for combined>0).
+        # So process candidates by DESCENDING upper bound (cos+1)/2 — the
+        # fuzzy term is <= 1 — and stop as soon as the bound falls below the
+        # best seen: with a good early best, almost no fuzzy calls remain.
         upper = (cos + 1.0) / 2.0
         candidates = np.nonzero(upper >= self.cfg.similarity_threshold)[0]
-        text_lower = text.lower()
-        best: Optional[Match] = None
+        if candidates.size == 0:
+            return None
+        # stable sort keeps index order among equal bounds
+        order = candidates[np.argsort(-upper[candidates], kind="stable")]
+        text_tokens = frozenset(_tokens(text.lower()))
+        best_r = -1
         best_score = 0.0
-        for r in candidates:
-            if upper[r] <= best_score:
-                continue
-            semantic = float(cos[r])
-            fuzzy = token_set_ratio(text_lower, self.row_labels_lower[r]) / 100
-            combined = (semantic + fuzzy) / 2
-            if combined > best_score:
+        for r in order:
+            u = upper[r]
+            if u < best_score:
+                break  # no remaining candidate can beat best_score
+            if u == best_score and best_r != -1 and r > best_r:
+                continue  # could only TIE, and the lower index already won
+            fuzzy = token_set_ratio_sets(text_tokens, self.row_label_tokens[r]) / 100
+            combined = (float(cos[r]) + fuzzy) / 2
+            if combined > best_score or (
+                combined == best_score and best_r != -1 and combined > 0.0 and r < best_r
+            ):
                 best_score = combined
-                best = (self.row_iris[r], self.row_labels[r], best_score)
-        if best is not None and best[2] >= self.cfg.similarity_threshold:
-            return best
+                best_r = int(r)
+        if best_r != -1 and best_score >= self.cfg.similarity_threshold:
+            return (self.row_iris[best_r], self.row_labels[best_r], best_score)
         return None
 
     # ------------------------------------------------------------------

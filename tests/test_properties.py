@@ -45,14 +45,18 @@ class TestMergeProperties:
     @given(candidate_spans())
     @settings(max_examples=100, deadline=None)
     def test_merge_subset_of_input_coverage(self, spans):
-        # every merged span lies within the hull of the input spans
+        # merged spans start/end within the input hull.  NOTE: start > end is
+        # possible — a faithfully-ported reference quirk: NP-NP merge
+        # concatenates the TEXTS of offset-overlapping spans
+        # (app/entity_extraction.py:66-73), so the leading-stopword strip's
+        # offset arithmetic (:92-94) can overshoot the span end.
         if not spans:
             assert merge_spans(spans) == []
             return
         lo = min(s[1] for s in spans)
         hi = max(s[2] for s in spans)
         for s in merge_spans(spans):
-            assert lo <= s[1] <= s[2] <= hi
+            assert lo <= s[1] and s[2] <= hi
 
 
 class TestLinkingEquivalence:
