@@ -72,18 +72,41 @@ def _ratio_upper_bound(a: str, b: str) -> float:
     return 2.0 * min(la, lb) / (la + lb)
 
 
-def token_set_ratio_sets(ta, tb) -> int:
+def token_set_ratio_sets(ta, tb, needed: float = -1.0) -> int:
     """token_set_ratio on pre-tokenized sets.  Identical output to the
     string version (round is monotone, so rounding the float max equals the
-    max of rounded ratios); the cheap length bound skips SequenceMatcher
-    calls that cannot raise the max."""
-    inter = sorted(ta & tb)
-    diff_a = sorted(ta - tb)
-    diff_b = sorted(tb - ta)
+    max of rounded ratios); cheap length bounds skip SequenceMatcher calls
+    that cannot raise the max.
 
-    s_inter = " ".join(inter)
-    s_a = (s_inter + " " + " ".join(diff_a)).strip()
-    s_b = (s_inter + " " + " ".join(diff_b)).strip()
+    ``needed`` (a ratio in [0,1]): when the overall upper bound is STRICTLY
+    below it, returns -1 instead of the exact value — callers that only care
+    whether the ratio can reach ``needed`` (the linker's pruned scan) treat
+    -1 as "provably too small"."""
+    inter = ta & tb
+    diff_a = ta - tb
+    diff_b = tb - ta
+
+    def joined_len(tokens) -> int:
+        return sum(len(t) for t in tokens) + max(0, len(tokens) - 1)
+
+    li = joined_len(inter)
+    la = li + (joined_len(diff_a) + 1 if diff_a else 0) if inter else joined_len(diff_a)
+    lb = li + (joined_len(diff_b) + 1 if diff_b else 0) if inter else joined_len(diff_b)
+
+    def lb_bound(l1: int, l2: int) -> float:
+        if l1 + l2 == 0:
+            return 1.0
+        return 2.0 * min(l1, l2) / (l1 + l2)
+
+    # +0.005 margin: the returned value is round(100*true)/100, which can
+    # exceed the true float ratio (and hence the bound) by up to 0.005 —
+    # the margin keeps the skip decision exact w.r.t. the ROUNDED value.
+    if needed >= 0.0 and max(lb_bound(li, la), lb_bound(li, lb), lb_bound(la, lb)) + 0.005 < needed:
+        return -1
+
+    s_inter = " ".join(sorted(inter))
+    s_a = (s_inter + " " + " ".join(sorted(diff_a))).strip()
+    s_b = (s_inter + " " + " ".join(sorted(diff_b))).strip()
 
     pairs = ((s_inter, s_a), (s_inter, s_b), (s_a, s_b))
     best = -1.0

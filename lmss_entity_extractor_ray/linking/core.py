@@ -127,14 +127,23 @@ class LinkerCore:
         text_tokens = frozenset(_tokens(text.lower()))
         best_r = -1
         best_score = 0.0
+        thr = self.cfg.similarity_threshold
         for r in order:
             u = upper[r]
             if u < best_score:
                 break  # no remaining candidate can beat best_score
             if u == best_score and best_r != -1 and r > best_r:
                 continue  # could only TIE, and the lower index already won
-            fuzzy = token_set_ratio_sets(text_tokens, self.row_label_tokens[r]) / 100
-            combined = (float(cos[r]) + fuzzy) / 2
+            semantic = float(cos[r])
+            # a candidate only matters if combined can reach max(best, thr):
+            # strictly below → can neither be returned nor tie the winner
+            needed = 2.0 * max(best_score, thr) - semantic
+            fuzzy_int = token_set_ratio_sets(
+                text_tokens, self.row_label_tokens[r], needed=needed
+            )
+            if fuzzy_int < 0:
+                continue  # provably below every interesting floor
+            combined = (semantic + fuzzy_int / 100) / 2
             if combined > best_score or (
                 combined == best_score and best_r != -1 and combined > 0.0 and r < best_r
             ):

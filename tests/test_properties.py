@@ -79,3 +79,39 @@ def artifacts_module(artifacts):
 
     # loose threshold exercises both the fast path and the combined scan
     return LinkerCore(artifacts, LinkerConfig(similarity_threshold=0.3))
+
+
+class TestBigOntologyEquivalence:
+    """naive == fast on an LMSS-sized ontology (the pruned scan's bound
+    arithmetic must hold when candidate sets are large)."""
+
+    @pytest.fixture(scope="class")
+    def big_core(self, tmp_path_factory):
+        from lmss_entity_extractor_ray.config import LinkerConfig
+        from lmss_entity_extractor_ray.linking.core import LinkerCore
+        from lmss_entity_extractor_ray.ontology.artifacts import build_artifacts
+        from lmss_entity_extractor_ray.ontology.fixture import write_fixture_owl
+
+        owl = write_fixture_owl(
+            str(tmp_path_factory.mktemp("big") / "big.owl"), n_classes=800
+        )
+        art = build_artifacts(owl)
+        return art, LinkerCore(art, LinkerConfig(similarity_threshold=0.45))
+
+    def test_naive_equals_fast_800_classes(self, big_core):
+        import random
+
+        from lmss_entity_extractor_ray.functions.embedding import embed_text
+        from lmss_entity_extractor_ray.pipelines.corpus import make_phrase_bank
+
+        art, core = big_core
+        bank = make_phrase_bank(art)
+        rng = random.Random(7)
+        for i in range(30):
+            t = (
+                " ".join(rng.sample(bank, rng.randint(1, 3)))[:60]
+                if rng.random() < 0.7
+                else f"noise text {i}"
+            )
+            v = embed_text(t)
+            assert core.match_naive(t, v) == core._match_fast_uncached(t, v), t
