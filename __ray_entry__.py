@@ -165,6 +165,12 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_exact_dedup_fulltext(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.dedup import exact_dedup_fulltext
+
+    return exact_dedup_fulltext(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_simhash(sf_dir: str):
     from lmss_entity_extractor_ray.ops.dedup import simhash_signatures
 
@@ -273,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         # dedup family
         "exact_dedup": _q_exact_dedup,
+        "exact_dedup_fulltext": _q_exact_dedup_fulltext,
         "simhash_signatures": _q_simhash,
         "minhash_near_dup": _q_minhash_near_dup,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -326,6 +333,10 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id,
                    count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "exact_dedup_fulltext": """
+            SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b,

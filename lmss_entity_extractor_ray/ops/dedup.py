@@ -69,6 +69,25 @@ def exact_dedup_groups(ds: rd.Dataset, key_tokens: int = 5) -> rd.Dataset:
     )
 
 
+def exact_dedup_fulltext(ds: rd.Dataset) -> rd.Dataset:
+    """Exact full-text dedup groups: (text, keep_id=min doc_id, n_dups).
+    Same two-phase shape as exact_dedup_groups with the raw text as key —
+    at 100 TB swap the key for its 128-bit hash so the shuffle rows stay
+    narrow (the grouping is identical for any injective key function)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["text"]).aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["text", "p_min", "p_cnt"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text")
+        .aggregate(Min("p_min", alias_name="keep_id"), Sum("p_cnt", alias_name="n_dups"))
+    )
+
+
 def exact_dedup_keep(ds: rd.Dataset, key_tokens: int = 5) -> rd.Dataset:
     """The surviving rows themselves (first doc_id per key): hash-partition
     by key, per-group first."""

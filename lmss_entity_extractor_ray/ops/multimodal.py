@@ -100,6 +100,62 @@ def decode_features(ds: rd.Dataset, batch_size: int = 32, concurrency=2) -> rd.D
     )
 
 
+class ResizeStub:
+    """Image-resize actor stage: same plumbing contract as DecodeStub —
+    small batches of fat binary rows in, transformed payloads out.  The
+    kernel (PIL/opencv) is stubbed with a deterministic byte-slice."""
+
+    def __init__(self, max_bytes: int = 1 << 16):
+        self.max_bytes = max_bytes  # a real impl would hold target WxH
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [(p or b"")[: self.max_bytes] for p in batch.column("payload").to_pylist()]
+        idx = batch.column_names.index("payload")
+        return batch.set_column(idx, "payload", pa.array(payloads, pa.binary()))
+
+
+class FrameSampleStub:
+    """Video frame-sampling actor stage: one input row → N frame rows
+    (flat_map-shaped fan-out).  Deterministic fake frames = byte strides."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, payloads = [], [], []
+        for item_id, p in zip(
+            batch.column("item_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            p = p or b""
+            for f in range(self.n_frames):
+                ids.append(item_id)
+                frames.append(f)
+                payloads.append(p[f :: self.n_frames])
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frames, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def resize_payloads(ds: rd.Dataset, batch_size: int = 32, concurrency=2) -> rd.Dataset:
+    return ds.map_batches(
+        ResizeStub, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def sample_frames(ds: rd.Dataset, n_frames: int = 4, batch_size: int = 16, concurrency=2) -> rd.Dataset:
+    return ds.map_batches(
+        FrameSampleStub,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def payloads_from_documents(docs_ds: rd.Dataset) -> rd.Dataset:
     """Adapter used by tests/queries: wrap the documents table's text bytes
     as opaque payloads so the decode plumbing runs on real driver data."""

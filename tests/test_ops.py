@@ -331,6 +331,38 @@ class TestMultimodal:
             assert df.loc[i, "payload_bytes"] == len(raw)
             assert 64 <= df.loc[i, "width"] < 64 + 1024
 
+    def test_resize_truncates_payload(self, ray_session, docs_ds):
+        from lmss_entity_extractor_ray.ops.multimodal import payloads_from_documents, resize_payloads
+
+        df = resize_payloads(payloads_from_documents(docs_ds), ).limit(5).to_pandas()
+        assert all(len(p) <= (1 << 16) for p in df["payload"])
+        assert set(df.columns) == {"item_id", "payload", "media_type"}
+
+    def test_frame_sample_fanout(self, ray_session, docs_ds):
+        from lmss_entity_extractor_ray.ops.multimodal import payloads_from_documents, sample_frames
+
+        src = payloads_from_documents(docs_ds)
+        n_in = src.count()
+        out = sample_frames(src, n_frames=4)
+        df = out.to_pandas()
+        assert len(df) == 4 * n_in
+        assert set(df["frame"]) == {0, 1, 2, 3}
+
+    def test_exact_dedup_fulltext(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_dedup_fulltext
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([9, 2, 5], pa.int64()),
+                "text": pa.array(["same text", "same text", "other"], pa.string()),
+            }
+        )
+        df = exact_dedup_fulltext(rd.from_arrow(tbl)).to_pandas().set_index("text")
+        assert df.loc["same text", "keep_id"] == 2 and df.loc["same text", "n_dups"] == 2
+        assert df.loc["other", "n_dups"] == 1
+
     def test_real_decode_seam_raises(self):
         from lmss_entity_extractor_ray.ops.multimodal import real_decode
 
