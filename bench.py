@@ -185,7 +185,7 @@ def kg_child(num_cpus: int, n_docs: int) -> None:
     )
 
 
-def run_scaling(n_docs: int = SCALING_DOCS) -> dict:
+def run_scaling(n_docs: int = SCALING_DOCS, reps: int = 3) -> dict:
     # generate the corpus once up front (distributed, own short Ray session)
     # so neither timed child pays generation cost
     if not _scaling_corpus_files(n_docs):
@@ -207,18 +207,29 @@ def run_scaling(n_docs: int = SCALING_DOCS) -> dict:
 
         ray.shutdown()
 
-    results = []
-    for cpus in SCALING_CPU_PAIR:
+    # median of `reps` fresh-process runs per level, interleaved lo/hi so
+    # slow drift (thermals, page cache) hits both levels equally — the
+    # 4-CPU level's wall time swings ±40% run-to-run on this host (turbo
+    # clocks are higher with few active cores), so a single pair is noise
+    def run_child(cpus: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--kg-child", str(cpus), str(n_docs)],
             capture_output=True,
             text=True,
             timeout=1800,
         )
-        line = out.stdout.strip().splitlines()[-1]
-        results.append(json.loads(line))
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = results
+    runs: dict = {c: [] for c in SCALING_CPU_PAIR}
+    for _ in range(reps):
+        for cpus in SCALING_CPU_PAIR:
+            runs[cpus].append(run_child(cpus))
+
+    def median_run(rs):
+        rs = sorted(rs, key=lambda r: r["docs_per_sec"])
+        return rs[len(rs) // 2]
+
+    lo, hi = (median_run(runs[c]) for c in SCALING_CPU_PAIR)
     ratio = hi["num_cpus"] / lo["num_cpus"]
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
     summary = {

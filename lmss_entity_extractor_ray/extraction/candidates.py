@@ -25,7 +25,6 @@ Candidate tuples are ``(text, start, end, type)`` like the reference's.
 from __future__ import annotations
 
 import re
-from collections import Counter
 from typing import List, Optional, Tuple
 
 from ..functions.automaton import AhoCorasick

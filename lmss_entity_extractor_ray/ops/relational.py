@@ -22,13 +22,12 @@ from __future__ import annotations
 
 from typing import Dict
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def scaled_int(col: pa.ChunkedArray, scale: int) -> pa.ChunkedArray:
