@@ -97,9 +97,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings: dict = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: Ray per-execution fixed costs swing with machine state
+        # (page cache, turbo); the min is the reproducible number
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            wall = time.perf_counter() - t0
+            best = wall if best is None else min(best, wall)
+        timings[name] = round(best, 3)
 
     timed("kg_triples", lambda: _consume(triples_dataset(read_corpus(files), art)))
 
