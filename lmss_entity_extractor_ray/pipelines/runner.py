@@ -94,11 +94,24 @@ def run_kg_pipeline(
             for f in os.listdir(final_dir)
             if f.endswith(".parquet")
         ]
+        # per-shard branch histogram via the salted three-stage aggregate
+        # (Zipf-hot branch keys; SURVEY.md §4.3) — counters in the manifest
+        # give every shard lineage + the per-class stats of reference G3/G5
+        from .kg import branch_histogram
+
+        hist_tbl = branch_histogram(
+            rd.read_parquet(out_files), buckets=cfg.run.salt_buckets
+        ).to_pandas() if out_files else None
         record = {
             "shard": shard_id,
             "input_files": files,
             "docs_in": _parquet_rows(files),
             "triples_out": _parquet_rows(out_files),
+            "branch_counts": (
+                dict(zip(hist_tbl["branch"], hist_tbl["n"].astype(int)))
+                if hist_tbl is not None
+                else {}
+            ),
             "wall_s": round(time.perf_counter() - t0, 3),
         }
         with open(manifest_path, "a") as f:

@@ -136,6 +136,19 @@ class TestRunnerResume:
         resumed = read_triples(crash_dir).to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
         assert resumed[["subj", "pred", "obj"]].equals(full[["subj", "pred", "obj"]])
 
+    def test_manifest_branch_counts(self, ray_session, artifacts, corpus_files, tmp_path, oracle_triples):
+        import json as _json
+
+        out = str(tmp_path / "bc")
+        run_kg_pipeline(corpus_files, artifacts, out, num_shards=2)
+        totals: dict = {}
+        with open(os.path.join(out, "manifest.jsonl")) as f:
+            for line in f:
+                for b, n in _json.loads(line)["branch_counts"].items():
+                    totals[b] = totals.get(b, 0) + n
+        expected = oracle_triples.to_pandas().groupby("branch").size().to_dict()
+        assert totals == expected
+
     def test_resume_skips_completed(self, ray_session, artifacts, corpus_files, tmp_path):
         out = str(tmp_path / "out")
         run_kg_pipeline(corpus_files, artifacts, out, num_shards=2)
