@@ -88,6 +88,32 @@ class TestGoldenE2E:
         assert not (subjs & empty_urls)
 
 
+class TestByteIdentity:
+    def test_text_stage_sha_parity_per_url(self, ray_session, corpus_files, small_corpus):
+        """The input_hint per-row invariant: extracted text is byte-identical
+        per url — sha256 of the distributed stage's output equals sha256 of
+        resolve_text on the raw rows."""
+        import hashlib
+
+        from lmss_entity_extractor_ray.functions.text import resolve_text
+        from lmss_entity_extractor_ray.stages.text_extract import add_text_stage
+
+        expected = {
+            u: hashlib.sha256(resolve_text(t, h).encode("utf-8")).hexdigest()
+            for u, t, h in zip(
+                small_corpus.column("url").to_pylist(),
+                small_corpus.column("text").to_pylist(),
+                small_corpus.column("html").to_pylist(),
+            )
+        }
+        got = {}
+        ds = add_text_stage(read_corpus(corpus_files))
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            for u, t in zip(b.column("url").to_pylist(), b.column("text").to_pylist()):
+                got[u] = hashlib.sha256(t.encode("utf-8")).hexdigest()
+        assert got == expected
+
+
 class TestStages:
     def test_mentions_dataset(self, ray_session, artifacts, corpus_files):
         forms_ref, _ = broadcast_artifacts(artifacts)
