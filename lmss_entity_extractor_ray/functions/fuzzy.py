@@ -113,7 +113,15 @@ def token_set_ratio_sets(ta, tb, needed: float = -1.0) -> int:
     for x, y in sorted(pairs, key=lambda p: -_ratio_upper_bound(*p)):
         if _ratio_upper_bound(x, y) <= best:
             break
-        r = _ratio_float(x, y)
+        if not x and not y:
+            r = 1.0
+        else:
+            m = SequenceMatcher(None, x, y)
+            # difflib's own upper bounds (char-count based) are O(n+m);
+            # ratio() is the expensive part — skip it when it can't win
+            if m.real_quick_ratio() <= best or m.quick_ratio() <= best:
+                continue
+            r = m.ratio()
         if r > best:
             best = r
     return int(round(100 * best))
