@@ -210,6 +210,12 @@ def _q_lsh_topk(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
 
 
+def _q_hash_sample(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.sampling import hash_sample
+
+    return hash_sample(_read(sf_dir, "documents", ["doc_id", "lang"]), "doc_id", 0.1)
+
+
 def _q_multimodal_decode(sf_dir: str):
     from lmss_entity_extractor_ray.ops.multimodal import decode_features, payloads_from_documents
 
@@ -296,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top1": _q_knn_top1,
         # event-time windowed aggregate
         "events_hourly": _q_events_hourly,
+        # sampling
+        "hash_sample": _q_hash_sample,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal_decode,
         # generic relational coverage
@@ -385,6 +393,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_c2
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296
+                  < CAST(0.1 * 4294967296 AS BIGINT)
         """,
         "multimodal_decode": """
             SELECT doc_id AS item_id,

@@ -282,6 +282,41 @@ class TestSimilarity:
 
 
 # ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+class TestSampling:
+    def test_hash_sample_deterministic_and_fractional(self, ray_session, docs_ds, docs_tbl):
+        from lmss_entity_extractor_ray.ops.sampling import hash_sample
+
+        a = hash_sample(docs_ds, "doc_id", 0.1).to_pandas()
+        b = hash_sample(docs_ds, "doc_id", 0.1).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # reproducible
+        n = docs_tbl.num_rows
+        assert 0.02 * n < len(a) < 0.25 * n  # ~10% (hash variance at n=500)
+        # superset property: a 20% sample with the same salt contains the 10%
+        c = hash_sample(docs_ds, "doc_id", 0.2).to_pandas()
+        assert set(a["doc_id"]) <= set(c["doc_id"])
+
+    def test_hash_sample_salt_changes_selection(self, ray_session, docs_ds):
+        from lmss_entity_extractor_ray.ops.sampling import hash_sample
+
+        a = set(hash_sample(docs_ds, "doc_id", 0.1, salt=0).to_pandas()["doc_id"])
+        b = set(hash_sample(docs_ds, "doc_id", 0.1, salt=7).to_pandas()["doc_id"])
+        assert a != b
+
+    def test_reservoir_sample_size_and_determinism(self, ray_session, docs_ds):
+        from lmss_entity_extractor_ray.ops.sampling import reservoir_sample
+
+        s1 = reservoir_sample(docs_ds, 25, seed=9)
+        s2 = reservoir_sample(docs_ds, 25, seed=9)
+        assert s1.num_rows == 25
+        assert sorted(s1.column("doc_id").to_pylist()) == sorted(s2.column("doc_id").to_pylist())
+        ids = s1.column("doc_id").to_pylist()
+        assert len(set(ids)) == 25  # without replacement
+
+
+# ---------------------------------------------------------------------------
 # windowed aggregate
 # ---------------------------------------------------------------------------
 
