@@ -118,6 +118,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "minhash_near_dup",
         "embedding_near_dup",
         "ann_topk",
+        "hash_sample",
         "multimodal_decode",
         "pricing_summary",
         "top_customers",
