@@ -216,6 +216,12 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(_read(sf_dir, "documents", ["doc_id", "lang"]), "doc_id", 0.1)
 
 
+def _q_reservoir_sample(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.sampling import reservoir_sample
+
+    return reservoir_sample(_read(sf_dir, "documents", ["doc_id", "lang"]), k=40, seed=42)
+
+
 def _q_multimodal_decode(sf_dir: str):
     from lmss_entity_extractor_ray.ops.multimodal import decode_features, payloads_from_documents
 
@@ -304,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         # sampling
         "hash_sample": _q_hash_sample,
+        "reservoir_sample": _q_reservoir_sample,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal_decode,
         # generic relational coverage
@@ -398,6 +405,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE (doc_id * 2654435761) % 4294967296
                   < CAST(0.1 * 4294967296 AS BIGINT)
+        """,
+        "reservoir_sample": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY ((doc_id + 42) * 2654435761) % 4294967296, doc_id
+            LIMIT 40
         """,
         "multimodal_decode": """
             SELECT doc_id AS item_id,

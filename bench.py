@@ -261,11 +261,16 @@ def _update_baseline_md(lo: dict, hi: dict, eff: float) -> None:
     if not os.path.exists(path):
         return
     table = (
-        "| run | num_cpus | corpus rows | wall s | docs/s | triples emitted | efficiency vs 8-cpu |\n"
+        f"| run | num_cpus | corpus rows | wall s | docs/s | triples emitted | efficiency vs {lo['num_cpus']}-cpu |\n"
         "|---|---|---|---|---|---|---|\n"
         f"| A | {lo['num_cpus']} | {lo['docs']} | {lo['wall_s']} | {lo['docs_per_sec']} | {lo['triples']} | 1.00 (base) |\n"
         f"| B | {hi['num_cpus']} | {hi['docs']} | {hi['wall_s']} | {hi['docs_per_sec']} | {hi['triples']} | {eff:.3f} (gate ≥ 0.8) |\n"
+        "Protocol: each row is the MEDIAN of 3 fresh-process runs, interleaved\n"
+        "A/B/A/B/… (single pairs swing 0.79–1.10 on this host); warm-up pass\n"
+        "excluded.  The default bench mode separately reports best-of-2 per query.\n"
     )
+    # single-newline join keeps the protocol note inside the regex's replace
+    # region so reruns don't accumulate stale copies
     with open(path) as f:
         content = f.read()
     content = re.sub(

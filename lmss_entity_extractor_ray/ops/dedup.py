@@ -200,13 +200,6 @@ class MinHasher:
         )
 
 
-def _hash_band(chunk: np.ndarray) -> int:
-    h = 0
-    for v in chunk.tolist():
-        h = (h * 1_000_003 + v) % _MERSENNE
-    return h
-
-
 def _minhash_band_rows(
     batch: pa.Table, num_perm: int = 64, bands: int = 16, shingle_k: int = 3
 ) -> pa.Table:

@@ -117,31 +117,59 @@ def pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:
 
 
 def top_customers(orders: rd.Dataset, customer: rd.Dataset, k: int = 10) -> rd.Dataset:
-    """Revenue top-k customers: groupby(custkey) Sum, then broadcast-join the
-    (small) customer table via ray.put — no shuffle join."""
+    """Revenue top-k customers: aggregate → top-k → join only k rows.
+
+    The customer table grows with the scale factor, so it is NOT a broadcast
+    side.  Instead: (1) groupby(custkey) Sum over orders (map-side partials
+    built into Ray's hash aggregate), (2) sort/limit down to the k winning
+    keys — only k rows ever reach the driver, (3) a semi-join filter over
+    customer pulls exactly the ≤ k matching name rows.  No corpus-sized
+    ``ray.get`` anywhere; both distributed passes stream."""
     rev = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
 
-    cust_tbl = pa.concat_tables([ray.get(r) for r in customer.to_arrow_refs()])
-    lookup = dict(
-        zip(cust_tbl.column("c_custkey").to_pylist(), cust_tbl.column("c_name").to_pylist())
-    )
-    lookup_ref = ray.put(lookup)
-
-    def join_name(batch: pa.Table) -> pa.Table:
-        names = ray.get(lookup_ref)
-        keys = batch.column("o_custkey").to_pylist()
+    def project(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "c_custkey": batch.column("o_custkey").cast(pa.int64()),
-                "c_name": pa.array([names.get(c) for c in keys], pa.string()),
                 "revenue_c2": scaled_int(batch.column("revenue"), 100),
             }
         )
 
-    return (
-        rev.map_batches(join_name, batch_format="pyarrow")
-        .sort(["revenue_c2", "c_custkey"], descending=[True, False])
-        .limit(k)
+    top_tbl = pa.concat_tables(
+        ray.get(
+            rev.map_batches(project, batch_format="pyarrow")
+            .sort(["revenue_c2", "c_custkey"], descending=[True, False])
+            .limit(k)
+            .to_arrow_refs()
+        )
+    )  # exactly k rows
+    top_keys = pa.array(top_tbl.column("c_custkey").to_pylist(), pa.int64())
+
+    def semi(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("c_custkey").cast(pa.int64()), value_set=top_keys)
+        out = batch.filter(mask)
+        return pa.table(
+            {
+                "c_custkey": out.column("c_custkey").cast(pa.int64()),
+                "c_name": out.column("c_name"),
+            }
+        )
+
+    name_tbl = pa.concat_tables(
+        ray.get(customer.map_batches(semi, batch_format="pyarrow").to_arrow_refs())
+    )  # ≤ k rows
+    names = dict(
+        zip(name_tbl.column("c_custkey").to_pylist(), name_tbl.column("c_name").to_pylist())
+    )
+    keys = top_tbl.column("c_custkey").to_pylist()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "c_custkey": top_tbl.column("c_custkey"),
+                "c_name": pa.array([names.get(c) for c in keys], pa.string()),
+                "revenue_c2": top_tbl.column("revenue_c2"),
+            }
+        )
     )
 
 

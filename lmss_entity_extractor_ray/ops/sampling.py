@@ -1,21 +1,29 @@
 """Sampling operators (absent from the reference — SURVEY.md §2.6 notes no
 sampling exists there — but indispensable for training-data pipelines).
 
-- ``hash_sample`` — deterministic multiplicative-hash sampling on a key
-  column.  THE sampling primitive at 100 TB: reproducible across runs and
-  partitionings, needs no global state or shuffle, and composes with resume
-  (a re-run samples the same rows).  Knuth's 2654435761 multiplier mod 2^32
-  is exactly computable in both numpy and ANSI SQL, so the driver's DuckDB
-  oracle matches bit-for-bit.
-- ``reservoir_sample`` — classic per-block reservoirs merged on the driver
-  (weighted by block row counts via a seeded PRNG); exact uniform k-sample
-  in one streaming pass, for when a FIXED-size sample is required.
+- ``hash_sample`` — deterministic multiplicative-hash FRACTION sampling on a
+  key column.  THE sampling primitive at 100 TB: reproducible across runs
+  and partitionings, needs no global state or shuffle, and composes with
+  resume (a re-run samples the same rows).  Knuth's 2654435761 multiplier
+  mod 2^32 is exactly computable in both numpy and ANSI SQL, so the
+  driver's DuckDB oracle matches bit-for-bit.
+- ``reservoir_sample`` — deterministic FIXED-SIZE k-sample via the bottom-k
+  formulation of reservoir sampling: tag every row with a per-key hash and
+  keep the k smallest tags.  Equivalent to "assign each row an i.i.d. random
+  number, keep the k smallest" — the classic exactly-mergeable distributed
+  reservoir — with the random number replaced by a keyed multiplicative
+  hash, which makes the sample reproducible across runs, block layouts and
+  partitionings (per-block RNGs are NOT: a block-content-independent seed
+  gives equal-shaped blocks identical index picks, and block boundaries
+  change with parallelism).  The sample is uniform to the extent the hash
+  behaves as a random permutation of the key space (exactly uniform under
+  that idealization; a multiplicative hash is in fact LOW-discrepancy on
+  dense integer keys, i.e. closer to proportional allocation than true
+  random sampling).  Distributed shape: per-block bottom-k (map-side
+  partial) → global merge over ≤ k·num_blocks candidate rows.
 """
 
 from __future__ import annotations
-
-import random
-from typing import List
 
 import numpy as np
 import pyarrow as pa
@@ -24,6 +32,12 @@ import ray.data as rd
 
 _KNUTH = 2654435761
 _MOD = 1 << 32
+
+
+def _tag(keys: np.ndarray, seed: int) -> np.ndarray:
+    """((key + seed) * 2654435761) mod 2^32 — identical to the SQL expression
+    ``((key + seed) * 2654435761) % 4294967296`` for keys in [0, ~2^31)."""
+    return ((keys + np.uint64(seed)) * np.uint64(_KNUTH)) % np.uint64(_MOD)
 
 
 def hash_sample(ds: rd.Dataset, key: str, fraction: float, salt: int = 0) -> rd.Dataset:
@@ -35,45 +49,44 @@ def hash_sample(ds: rd.Dataset, key: str, fraction: float, salt: int = 0) -> rd.
 
     def keep(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch.column(key).to_pylist(), dtype=np.uint64)
-        h = ((k + np.uint64(salt)) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        h = _tag(k, salt)
         return batch.filter(pa.array(h < threshold))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def reservoir_sample(ds: rd.Dataset, k: int, seed: int = 42) -> pa.Table:
-    """Exact uniform k-sample in one streaming pass: per-block reservoirs
-    (distributed) merged on the driver with block-size weighting.
+def reservoir_sample(ds: rd.Dataset, k: int, seed: int = 42, key: str = "doc_id") -> pa.Table:
+    """Deterministic k-sample without replacement (bottom-k reservoir).
 
-    The merge holds k rows per block on the driver — fine for any practical
-    k; the corpus itself is never collected."""
+    Each row's tag is a multiplicative hash of its ``key`` column; the sample
+    is the k rows with the smallest ``(tag, key)``.  One streaming pass:
+    every block reduces to its local bottom-k (map-side partial), the driver
+    merges ≤ k rows per block — the corpus itself is never collected, and
+    the result is independent of block layout / parallelism / execution
+    order (unlike per-block RNG reservoirs).  Requires ``key`` values to be
+    unique for exact without-replacement semantics.
 
-    def block_reservoir(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n <= k:
-            chosen = list(range(n))
-        else:
-            rng = random.Random((seed << 20) ^ n ^ batch.num_columns)
-            chosen = rng.sample(range(n), k)
-        sub = batch.take(pa.array(sorted(chosen), pa.int64()))
-        return sub.append_column("_block_rows", pa.array([n] * len(chosen), pa.int64()))
+    SQL parity: ``ORDER BY ((key + seed) * 2654435761) % 4294967296, key
+    LIMIT k``."""
 
-    parts: List[pa.Table] = list(
-        ds.map_batches(block_reservoir, batch_format="pyarrow", batch_size=None).iter_batches(
+    def block_bottomk(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(key).to_pylist(), dtype=np.uint64)
+        tags = _tag(keys, seed)
+        order = np.lexsort((keys, tags))[: min(k, batch.num_rows)]
+        sub = batch.take(pa.array(np.sort(order), pa.int64()))
+        return sub.append_column(
+            "_tag", pa.array(_tag(np.asarray(sub.column(key).to_pylist(), dtype=np.uint64), seed).astype(np.int64), pa.int64())
+        )
+
+    parts = list(
+        ds.map_batches(block_bottomk, batch_format="pyarrow", batch_size=None).iter_batches(
             batch_format="pyarrow"
         )
     )
     if not parts:
         return pa.table({})
     merged = pa.concat_tables(parts)
-    weights = merged.column("_block_rows").to_pylist()
-    merged = merged.drop_columns(["_block_rows"])
-    # weighted reservoir over the union: each candidate row stands for
-    # block_rows / k rows; draw k without replacement proportional to weight
-    rng = random.Random(seed)
-    keyed = sorted(
-        range(merged.num_rows),
-        key=lambda i: rng.random() ** (1.0 / max(1e-9, weights[i])),
-        reverse=True,
-    )[: min(k, merged.num_rows)]
-    return merged.take(pa.array(sorted(keyed), pa.int64()))
+    tags = np.asarray(merged.column("_tag").to_pylist(), dtype=np.uint64)
+    keys = np.asarray(merged.column(key).to_pylist(), dtype=np.uint64)
+    order = np.lexsort((keys, tags))[: min(k, merged.num_rows)]
+    return merged.drop_columns(["_tag"]).take(pa.array(order, pa.int64()))

@@ -77,7 +77,19 @@ def run_kg_pipeline(
     newly_done = 0
     for shard_id, files in enumerate(shards):
         if shard_id in completed:
-            continue
+            # Resume safety: shard ids are only meaningful for the exact
+            # (corpus_paths, num_shards) they were computed from.  A rerun
+            # with different inputs would silently skip/double-process files
+            # if we trusted the id alone — skip ONLY on an exact file-list
+            # match, and fail loudly otherwise.
+            if completed[shard_id].get("input_files") == files:
+                continue
+            raise ValueError(
+                f"resume mismatch for shard {shard_id}: manifest records "
+                f"{completed[shard_id].get('input_files')} but the current "
+                f"run shards to {files}; rerun with resume=False or the "
+                "original corpus_paths/num_shards"
+            )
         t0 = time.perf_counter()
         final_dir = os.path.join(out_dir, f"shard={shard_id}")
         tmp_dir = os.path.join(out_dir, f".tmp-shard-{shard_id}")

@@ -314,6 +314,36 @@ class TestSampling:
         assert sorted(s1.column("doc_id").to_pylist()) == sorted(s2.column("doc_id").to_pylist())
         ids = s1.column("doc_id").to_pylist()
         assert len(set(ids)) == 25  # without replacement
+        # different seed → different sample
+        s3 = reservoir_sample(docs_ds, 25, seed=10)
+        assert sorted(ids) != sorted(s3.column("doc_id").to_pylist())
+
+    def test_reservoir_sample_uniform_and_layout_independent(self, ray_session):
+        """Round-1 bug regression: per-block RNG seeded only by block shape
+        gave rows in equal-shaped blocks zero inclusion probability at most
+        positions.  The bottom-k formulation must (a) be independent of the
+        block layout, (b) spread a sample statistically uniformly across
+        equal-size key strata."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.sampling import reservoir_sample
+
+        tbl = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+        s = reservoir_sample(rd.from_arrow(tbl), 200, seed=3)
+        ids = s.column("doc_id").to_pylist()
+        assert len(ids) == 200 and len(set(ids)) == 200
+        # layout independence: a different partitioning yields the same rows
+        s2 = reservoir_sample(rd.from_arrow(tbl).repartition(7), 200, seed=3)
+        assert sorted(ids) == sorted(s2.column("doc_id").to_pylist())
+        # chi-square over 20 equal strata of 100 consecutive ids
+        counts = np.zeros(20)
+        for i in ids:
+            counts[i // 100] += 1
+        chi2 = float(((counts - 10.0) ** 2 / 10.0).sum())
+        assert chi2 < 43.82  # df=19, p=0.001
+        assert (counts > 0).all()  # every stratum reachable
 
 
 # ---------------------------------------------------------------------------
