@@ -350,6 +350,12 @@ def oracle_sql() -> dict[str, str]:
                         END AS stopword_ratio_e5
             FROM documents
         """,
+        "fingerprints": """
+            SELECT doc_id,
+                   sha256(trim(regexp_replace(lower(coalesce(text, '')),
+                                              '\\s+', ' ', 'g'), ' ')) AS fingerprint
+            FROM documents
+        """,
         "exact_dedup": f"""
             SELECT array_to_string(({_TOKENS})[1:5], ' ') AS dedup_key,
                    min(doc_id) AS keep_id,

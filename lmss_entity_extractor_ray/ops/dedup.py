@@ -112,6 +112,38 @@ def exact_dedup_keep(ds: rd.Dataset, key_tokens: int = 5) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_MASK29 = np.uint64((1 << 29) - 1)
+_MASK32 = np.uint64((1 << 32) - 1)
+_MASK61 = np.uint64((1 << 61) - 1)
+_P61 = np.uint64(_MERSENNE)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values mod 2^61-1 via Mersenne folding (2^61 ≡ 1)."""
+    x = (x >> np.uint64(61)) + (x & _MASK61)
+    x = (x >> np.uint64(61)) + (x & _MASK61)
+    return np.where(x >= _P61, x - _P61, x)
+
+
+def _mulmod_p61(h: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """(h * a) mod (2^61 - 1) without 128-bit overflow, vectorized.
+
+    Split both operands into 32-bit halves; reduce the cross terms with the
+    Mersenne identities 2^64 ≡ 8 and x·2^32 ≡ (x >> 29) + ((x & (2^29-1)) << 32)
+    (mod 2^61-1).  Inputs must be < 2^61; output is < 2^61-1.  This is the
+    REAL universal-hash arithmetic — a plain uint64 multiply wraps mod 2^64
+    before the mod p, which silently changes the hash family and its banding
+    collision probabilities."""
+    h = np.asarray(h, dtype=np.uint64)
+    a = np.asarray(a, dtype=np.uint64)
+    h_hi, h_lo = h >> np.uint64(32), h & _MASK32
+    a_hi, a_lo = a >> np.uint64(32), a & _MASK32
+    # a*h = a_hi*h_hi*2^64 + (a_hi*h_lo + a_lo*h_hi)*2^32 + a_lo*h_lo
+    term1 = _fold61(a_hi * h_hi) * np.uint64(8)            # < 2^64? t1<p → *8 < 2^64; fold below
+    mid = _fold61(a_hi * h_lo + a_lo * h_hi)               # < p
+    term2 = (mid >> np.uint64(29)) + ((mid & _MASK29) << np.uint64(32))
+    term3 = _fold61(a_lo * h_lo)
+    return _fold61(_fold61(term1) + _fold61(term2) + term3)
 
 
 def word_shingles(text: str, k: int = 3) -> Set[int]:
@@ -137,13 +169,13 @@ def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarra
 
 
 def minhash_signature(shingles: Set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm-wide MinHash signature via universal hashing (vectorized:
-    one [n_shingles, num_perm] broadcast per doc)."""
+    """num_perm-wide MinHash signature via the universal hash
+    (a·h + b) mod (2^61-1), computed with true Mersenne folding (one
+    [n_shingles, num_perm] broadcast per doc)."""
     if not shingles:
         return np.full(a.shape[0], _MERSENNE, dtype=np.uint64)
     h = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
-    # (a*h + b) mod p, computed in python-int free uint64 with Mersenne folding
-    prod = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    prod = _fold61(_mulmod_p61(h[:, None], a[None, :]) + b[None, :])
     return prod.min(axis=0)
 
 
@@ -174,22 +206,21 @@ class MinHasher:
         lens = np.array([len(x) for x in per_doc])
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         h = np.concatenate(per_doc)
-        sig_all = (h[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        sig_all = _fold61(_mulmod_p61(h[:, None], self.a[None, :]) + self.b[None, :])
         return np.minimum.reduceat(sig_all, starts, axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
         sigs = self._signatures(batch.column("text").to_pylist())
         n, r, bands = len(ids), self.rows_per_band, self.bands
-        # polynomial band hash over each band's r contiguous rows,
-        # vectorized over docs
+        # polynomial band hash over each band's r contiguous rows in the
+        # same exact mod-(2^61-1) arithmetic, vectorized over docs
         P = np.uint64(1_000_003)
-        M = np.uint64(_MERSENNE)
         band_hash = np.zeros((n, bands), dtype=np.uint64)
         for band in range(bands):
             acc = np.zeros(n, dtype=np.uint64)
             for j in range(r):
-                acc = (acc * P + sigs[:, band * r + j]) % M
+                acc = _fold61(_mulmod_p61(acc, P) + sigs[:, band * r + j])
             band_hash[:, band] = acc
         return pa.table(
             {
@@ -247,25 +278,31 @@ def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         .groupby(["band", "band_hash"])
         .aggregate(Sum("p_cnt", alias_name="n"))
     )
-    hot: set = set()
+    hot: Dict[int, list] = {}
     for b in counts.iter_batches(batch_format="pyarrow"):
         mask = pc.and_(pc.greater_equal(b.column("n"), 2), pc.less_equal(b.column("n"), 256))
         sel = b.filter(mask)
-        hot.update(zip(sel.column("band").to_pylist(), sel.column("band_hash").to_pylist()))
+        for band, h in zip(sel.column("band").to_pylist(), sel.column("band_hash").to_pylist()):
+            hot.setdefault(band, []).append(h)
     if not hot:
         return rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "n_buckets": pa.array([], pa.int64())})
         )
-    hot_ref = ray.put(hot)
+    # per-band SORTED hash arrays → the semi-join below is a vectorized
+    # np.isin per band instead of a per-row Python set probe
+    hot_ref = ray.put({band: np.sort(np.asarray(hs, dtype=np.int64)) for band, hs in hot.items()})
 
     def keep_hot(batch: pa.Table) -> pa.Table:
         hot_keys = ray.get(hot_ref)
-        keep = [
-            (b, h) in hot_keys
-            for b, h in zip(batch.column("band").to_pylist(), batch.column("band_hash").to_pylist())
-        ]
-        return batch.filter(pa.array(keep))
+        bands_np = np.asarray(batch.column("band").to_pylist(), dtype=np.int64)
+        hashes_np = np.asarray(batch.column("band_hash").to_pylist(), dtype=np.int64)
+        mask = np.zeros(len(bands_np), dtype=bool)
+        for band, arr in hot_keys.items():
+            sel = bands_np == band
+            if sel.any():
+                mask[sel] = np.isin(hashes_np[sel], arr)
+        return batch.filter(pa.array(mask))
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group.column("doc_id").to_pylist())

@@ -27,7 +27,9 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
+
+from .combine import combine_partials, sort_table
 
 
 def scaled_int(col: pa.ChunkedArray, scale: int) -> pa.ChunkedArray:
@@ -92,28 +94,27 @@ def pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    agg = (
-        lineitem.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("p_qty", alias_name="sum_qty"),
-            Sum("p_base", alias_name="sum_base_price"),
-            Sum("p_disc", alias_name="sum_disc_price"),
-            Sum("p_cnt", alias_name="count_order"),
-        )
-        .map_batches(finalize, batch_format="pyarrow")
-        .sort(["l_returnflag", "l_linestatus"])
+    partials = lineitem.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # (returnflag, linestatus) has single-digit cardinality → coordinator
+    # merge of the distributed partials (ops/combine.py), no AllToAll
+    final = combine_partials(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        [("p_qty", "sum", "sum_qty"), ("p_base", "sum", "sum_base_price"),
+         ("p_disc", "sum", "sum_disc_price"), ("p_cnt", "sum", "count_order")],
     )
-    return _scale_cols(
-        agg,
-        {"sum_qty": 100, "sum_base_price": 100, "sum_disc_price": 100, "avg_qty": 10_000},
-        {
-            "sum_qty": "sum_qty_c2",
-            "sum_base_price": "sum_base_price_c2",
-            "sum_disc_price": "sum_disc_price_c2",
-            "avg_qty": "avg_qty_e4",
-        },
+    final = sort_table(
+        finalize(final), [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
     )
+    for c, scale, name in (
+        ("sum_qty", 100, "sum_qty_c2"),
+        ("sum_base_price", 100, "sum_base_price_c2"),
+        ("sum_disc_price", 100, "sum_disc_price_c2"),
+        ("avg_qty", 10_000, "avg_qty_e4"),
+    ):
+        idx = final.column_names.index(c)
+        final = final.set_column(idx, name, scaled_int(final.column(c), scale))
+    return rd.from_arrow(final)
 
 
 def top_customers(orders: rd.Dataset, customer: rd.Dataset, k: int = 10) -> rd.Dataset:
@@ -175,7 +176,9 @@ def top_customers(orders: rd.Dataset, customer: rd.Dataset, k: int = 10) -> rd.D
 
 def events_by_type(events: rd.Dataset) -> rd.Dataset:
     """Per event_type count + value stats (the events stream table).
-    Same map-side partial-aggregation pattern as pricing_summary."""
+    Map-side partials (distributed) + coordinator merge: event_type is a
+    bounded-cardinality key, so the global combine is a few rows per block —
+    no AllToAll needed (ops/combine.py)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["event_type"]).aggregate(
@@ -183,20 +186,19 @@ def events_by_type(events: rd.Dataset) -> rd.Dataset:
         )
         return g.rename_columns(["event_type", "p_n", "p_sum", "p_min", "p_max"])
 
-    agg = (
-        events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .aggregate(
-            Sum("p_n", alias_name="n"),
-            Sum("p_sum", alias_name="sum_value"),
-            Min("p_min", alias_name="min_value"),
-            Max("p_max", alias_name="max_value"),
-        )
-        .sort("event_type")
+    partials = events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = combine_partials(
+        partials,
+        ["event_type"],
+        [("p_n", "sum", "n"), ("p_sum", "sum", "sum_value"),
+         ("p_min", "min", "min_value"), ("p_max", "max", "max_value")],
     )
+    final = sort_table(final, [("event_type", "ascending")])
     # min/max are raw pass-through doubles (identical parquet bits on both
     # sides); only the order-sensitive sum needs quantizing
-    return _scale_cols(agg, {"sum_value": 100}, {"sum_value": "sum_value_c2"})
+    idx = final.column_names.index("sum_value")
+    final = final.set_column(idx, "sum_value_c2", scaled_int(final.column("sum_value"), 100))
+    return rd.from_arrow(final)
 
 
 def filter_parts(part: rd.Dataset, min_size: int = 30) -> rd.Dataset:
@@ -230,9 +232,9 @@ def supplier_balance_by_nation(supplier: rd.Dataset, nation: rd.Dataset) -> rd.D
     )
     names_ref = ray.put(names)
 
-    def add_nation(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         m = ray.get(names_ref)
-        return pa.table(
+        t = pa.table(
             {
                 "n_name": pa.array(
                     [m.get(k) for k in batch.column("s_nationkey").to_pylist()], pa.string()
@@ -240,11 +242,16 @@ def supplier_balance_by_nation(supplier: rd.Dataset, nation: rd.Dataset) -> rd.D
                 "s_acctbal": batch.column("s_acctbal"),
             }
         )
+        g = t.group_by(["n_name"]).aggregate([("s_acctbal", "count"), ("s_acctbal", "sum")])
+        return g.rename_columns(["n_name", "p_n", "p_bal"])
 
-    agg = (
-        supplier.map_batches(add_nation, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
-        .sort("n_name")
+    # 25 nations → map-side partials + coordinator merge (ops/combine.py)
+    final = combine_partials(
+        supplier.map_batches(partial, batch_format="pyarrow"),
+        ["n_name"],
+        [("p_n", "sum", "n_suppliers"), ("p_bal", "sum", "total_bal")],
     )
-    return _scale_cols(agg, {"total_bal": 100}, {"total_bal": "total_bal_c2"})
+    final = sort_table(final, [("n_name", "ascending")])
+    idx = final.column_names.index("total_bal")
+    final = final.set_column(idx, "total_bal_c2", scaled_int(final.column("total_bal"), 100))
+    return rd.from_arrow(final)

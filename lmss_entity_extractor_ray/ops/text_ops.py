@@ -150,30 +150,46 @@ def lang_id(ds: rd.Dataset, concurrency=None) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# document fingerprint — rolling polynomial hash of normalized text
+# document fingerprint — sha256 of whitespace-normalized lowercased text
 # ---------------------------------------------------------------------------
+# The normalization (lowercase, collapse runs of RE2-\s to one space, strip)
+# runs as vectorized Arrow kernels; the digest is C-speed hashlib.  Both
+# steps are expressible verbatim in DuckDB —
+#   sha256(trim(regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g')))
+# — so fingerprints is driver-oracle-checkable end to end (Arrow and DuckDB
+# both use RE2, so the \s classes agree exactly).
 
-_FP_BASE = 1_000_003
-_FP_MOD = (1 << 61) - 1
+
+def normalize_for_fingerprint(text: str) -> str:
+    """Reference normalization for one string (tests / tiny inputs); the
+    batch path does the same transform in Arrow kernels."""
+    import re
+
+    # re.ASCII pins \s to [ \t\n\r\f\v] — the RE2 set Arrow/DuckDB use
+    return re.sub(r"\s+", " ", (text or "").lower(), flags=re.ASCII).strip(" ")
 
 
-def fingerprint_text(text: str) -> int:
-    """Deterministic 61-bit rolling polynomial hash over the
-    whitespace-normalized lowercased text."""
-    h = 0
-    for tok in text.lower().split():
-        for ch in tok:
-            h = (h * _FP_BASE + ord(ch)) % _FP_MOD
-        h = (h * _FP_BASE + 32) % _FP_MOD
-    return h
+def fingerprint_text(text: str) -> str:
+    """sha256 hex digest of the normalized text (single-string helper)."""
+    import hashlib
+
+    return hashlib.sha256(normalize_for_fingerprint(text).encode("utf-8")).hexdigest()
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    texts = pc.fill_null(batch.column("text"), "").to_pylist()
+    import hashlib
+
+    text = pc.fill_null(batch.column("text"), "")
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " "), characters=" "
+    )
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array([fingerprint_text(t) for t in texts], pa.int64()),
+            "fingerprint": pa.array(
+                [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()],
+                pa.string(),
+            ),
         }
     )
 

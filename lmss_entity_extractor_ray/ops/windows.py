@@ -14,7 +14,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Sum
+
+from .combine import combine_partials, sort_table
 
 
 def tumbling_window_agg(
@@ -48,10 +49,13 @@ def tumbling_window_agg(
         idx = batch.column_names.index("sum_value")
         return batch.set_column(idx, "sum_value_c2", scaled)
 
-    return (
-        events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["window_start", key])
-        .aggregate(Sum("p_n", alias_name="n"), Sum("p_sum", alias_name="sum_value"))
-        .map_batches(finalize, batch_format="pyarrow")
-        .sort(["window_start", key])
+    # window × key cardinality is bounded (hours in range × event types) →
+    # coordinator merge of the distributed partials (ops/combine.py); swap
+    # for a distributed groupby if windows × keys ever outgrows the driver
+    final = combine_partials(
+        events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["window_start", key],
+        [("p_n", "sum", "n"), ("p_sum", "sum", "sum_value")],
     )
+    final = sort_table(finalize(final), [("window_start", "ascending"), (key, "ascending")])
+    return rd.from_arrow(final)

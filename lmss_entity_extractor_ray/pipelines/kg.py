@@ -178,8 +178,9 @@ def _block_keep_best(batch: pa.Table) -> pa.Table:
     n = t.num_rows
     same = np.ones(n - 1, dtype=bool)  # row i+1 has the same key as row i
     for name in ("subj", "pred", "obj"):
-        arr = np.asarray(t.column(name).to_pylist(), dtype=object)
-        same &= arr[1:] == arr[:-1]
+        col = t.column(name).combine_chunks()
+        # Arrow C++ elementwise compare of adjacent rows (no Python objects)
+        same &= np.asarray(pc.equal(col.slice(1, n - 1), col.slice(0, n - 1)))
     mask = np.ones(n, dtype=bool)
     mask[1:] = ~same
     return t.filter(pa.array(mask))
@@ -211,40 +212,55 @@ def _salt_of(values, buckets: int):
 
 
 def salted_value_counts(
-    ds: rd.Dataset, key: str, salt_from: str = "subj", buckets: int = 16
+    ds: rd.Dataset, key: str, salt_from: str = "subj", buckets: int = 16,
+    shuffle: bool = False,
 ) -> rd.Dataset:
     """Count rows per ``key`` when ``key`` is Zipf-hot (e.g. obj/pred class
     IRIs — a handful of classes tag most pages, SURVEY.md §7.4.5).
 
-    Three-stage, FP-Hadoop-style (PAPERS.md, VLDB 2015):
+    Default path: the in-batch partial count (stage 1) already collapses
+    every block to ≤ |keys × salts| rows, and the key is bounded-cardinality
+    (branches/classes), so the global merge is a coordinator fold
+    (ops/combine.py) — no shuffle at all, and a deterministic (n desc, key
+    asc) output order.
+
+    ``shuffle=True`` keeps the three-stage FP-Hadoop-style salted exchange
+    (PAPERS.md, VLDB 2015) for when the partial cardinality itself is too
+    large to fold on the driver:
       1. in-batch partial count per (key, salt) — map-side combine;
       2. groupby (key, salt) Sum — the shuffle fans each hot key out over
          ``buckets`` reducers instead of one;
       3. groupby key Sum over ≤ buckets rows/key — trivially small.
     """
 
+    partial_schema = pa.schema(
+        [(key, pa.string()), ("salt", pa.int32()), ("partial_count", pa.int64())]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key).to_pylist()
+        if batch.num_rows == 0:
+            return partial_schema.empty_table()
         salts = _salt_of(batch.column(salt_from).to_pylist(), buckets)
-        counts: dict = {}
-        for k, s in zip(keys, salts):
-            counts[(k, s)] = counts.get((k, s), 0) + 1
-        return pa.table(
-            {
-                key: pa.array([k for k, _ in counts], pa.string()),
-                "salt": pa.array([s for _, s in counts], pa.int32()),
-                "partial_count": pa.array(list(counts.values()), pa.int64()),
-            }
-        )
+        t = pa.table({key: batch.column(key), "salt": pa.array(salts, pa.int32())})
+        # Arrow C++ hash-group-by does the counting; no per-row Python dict
+        g = t.group_by([key, "salt"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "salt", "partial_count"]).cast(partial_schema)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    salted = partials.groupby([key, "salt"]).aggregate(
-        Sum("partial_count", alias_name="salted_count")
-    )
-    return (
-        salted.groupby(key)
-        .aggregate(Sum("salted_count", alias_name="n"))
-        .sort("n", descending=True)
+    if shuffle:
+        salted = partials.groupby([key, "salt"]).aggregate(
+            Sum("partial_count", alias_name="salted_count")
+        )
+        return (
+            salted.groupby(key)
+            .aggregate(Sum("salted_count", alias_name="n"))
+            .sort("n", descending=True)
+        )
+    from ..ops.combine import combine_partials, sort_table
+
+    final = combine_partials(partials, [key], [("partial_count", "sum", "n")])
+    return rd.from_arrow(
+        sort_table(final, [("n", "descending"), (key, "ascending")])
     )
 
 
@@ -255,5 +271,18 @@ def branch_histogram(triples_ds: rd.Dataset, buckets: int = 16) -> rd.Dataset:
 
 
 def mention_type_histogram(mentions_ds: rd.Dataset) -> rd.Dataset:
-    """Mention count per type (reference ExtractionStats, app/main.py:238-244)."""
-    return mentions_ds.groupby("type").aggregate(Count(alias_name="n")).sort("type")
+    """Mention count per type (reference ExtractionStats, app/main.py:238-244).
+    Four mention types → map-side partial counts + coordinator merge."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["type", "p_n"])
+
+    from ..ops.combine import combine_partials, sort_table
+
+    final = combine_partials(
+        mentions_ds.map_batches(partial, batch_format="pyarrow"),
+        ["type"],
+        [("p_n", "sum", "n")],
+    )
+    return rd.from_arrow(sort_table(final, [("type", "ascending")]))

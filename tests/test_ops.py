@@ -87,11 +87,22 @@ class TestTextOps:
         assert (df["lang_pred"] == "en").mean() > 0.5
 
     def test_fingerprint_deterministic_and_ws_insensitive(self):
+        import hashlib
+
         from lmss_entity_extractor_ray.ops.text_ops import fingerprint_text
 
         assert fingerprint_text("Hello  world") == fingerprint_text("hello world")
         assert fingerprint_text("hello world") != fingerprint_text("world hello")
-        assert fingerprint_text("") == 0
+        assert fingerprint_text("") == hashlib.sha256(b"").hexdigest()
+        assert fingerprint_text(" a\t b\nc ") == fingerprint_text("A b C")
+
+    def test_fingerprint_batch_matches_single(self, ray_session, docs_ds):
+        from lmss_entity_extractor_ray.ops.text_ops import fingerprint_text, fingerprints
+
+        df = fingerprints(docs_ds).to_pandas().set_index("doc_id")
+        src = docs_ds.to_pandas().set_index("doc_id")
+        for doc_id in list(src.index)[:50]:
+            assert df.loc[doc_id, "fingerprint"] == fingerprint_text(src.loc[doc_id, "text"])
 
 
 # ---------------------------------------------------------------------------
@@ -149,6 +160,23 @@ class TestDedup:
         )
         df = exact_dedup_keep(rd.from_arrow(tbl)).to_pandas()
         assert df["doc_id"].tolist() == [3]
+
+    def test_mulmod_p61_matches_python_ints(self):
+        """The MinHash family is (a·h + b) mod 2^61-1 — verify the vectorized
+        Mersenne-folding multiply against exact Python bignum arithmetic,
+        including the worst-case corners."""
+        import numpy as np
+
+        from lmss_entity_extractor_ray.ops.dedup import _MERSENNE, _mulmod_p61
+
+        rng = np.random.RandomState(0)
+        h = rng.randint(0, _MERSENNE, size=2000, dtype=np.uint64)
+        a = rng.randint(0, _MERSENNE, size=2000, dtype=np.uint64)
+        edge = np.array([0, 1, 2, _MERSENNE - 1, _MERSENNE - 2, (1 << 32) - 1, 1 << 32], dtype=np.uint64)
+        for x, y in ((h, a), (edge, edge[::-1].copy()), (edge, np.full(7, _MERSENNE - 1, np.uint64))):
+            got = _mulmod_p61(x, y).tolist()
+            exp = [(int(i) * int(j)) % _MERSENNE for i, j in zip(x, y)]
+            assert got == exp
 
     def test_minhash_near_dup_vs_bruteforce(self, ray_session):
         import ray.data as rd
