@@ -127,6 +127,24 @@ def _q_kg_branch_hist(sf_dir: str):
     return branch_histogram(_triples_materialized(sf_dir))
 
 
+def _q_kg_exact_label_hits(sf_dir: str):
+    """Independent value-level oracle for the KG stack's gazetteer path:
+    corpus × ontology-surface-forms exact token-boundary match → DISTINCT
+    (url, iri).  The forms table is written to a fixed path so the DuckDB
+    oracle joins the SAME two parquet inputs."""
+    import ray.data as rd
+
+    from lmss_entity_extractor_ray.pipelines.exact_hits import (
+        exact_label_hits,
+        write_forms_parquet,
+    )
+
+    art = _artifacts()
+    write_forms_parquet(art, "/tmp/graft_kg/forms.parquet")
+    files = _corpus_files(sf_dir)
+    return exact_label_hits(rd.read_parquet(files, columns=["url", "text"]), art)
+
+
 def _q_ontology_search(sf_dir: str):
     import pyarrow as pa
 
@@ -189,6 +207,14 @@ def _q_minhash_near_dup(sf_dir: str):
 
     return near_dup_pairs_minhash(
         _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.2
+    )
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
     )
 
 
@@ -290,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_dedup_backstop": _q_kg_triples_dedup,
         "kg_mention_type_histogram": _q_kg_mention_hist,
         "kg_branch_histogram": _q_kg_branch_hist,
+        "kg_exact_label_hits": _q_kg_exact_label_hits,
         "ontology_search": _q_ontology_search,
         # text analysis
         "token_counts": _q_token_counts,
@@ -301,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_fulltext": _q_exact_dedup_fulltext,
         "simhash_signatures": _q_simhash,
         "minhash_near_dup": _q_minhash_near_dup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_near_dup": _q_embedding_near_dup,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -334,6 +362,22 @@ _NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE array_length({_TOKENS}) END"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the ONLY KG-stack query with SQL-expressible semantics: exact
+        # token-boundary surface-form matching over the same corpus +
+        # forms parquet files the Ray side reads (driver runs at sf0.01;
+        # the Ray query writes/reads these deterministic paths)
+        "kg_exact_label_hits": """
+            WITH c AS (
+                SELECT url,
+                       ' ' || trim(regexp_replace(lower(coalesce(text, '')),
+                                                  '[^a-z0-9]+', ' ', 'g'), ' ') || ' '
+                           AS norm
+                FROM read_parquet('/tmp/graft_kg/corpus-sf0.01-1000/*.parquet')),
+            f AS (SELECT DISTINCT form_norm, iri
+                  FROM read_parquet('/tmp/graft_kg/forms.parquet'))
+            SELECT DISTINCT c.url, f.iri
+            FROM c JOIN f ON contains(c.norm, ' ' || f.form_norm || ' ')
+        """,
         "token_counts": f"SELECT doc_id, {_NTOK} AS n_tokens FROM documents",
         "quality_scores": f"""
             SELECT doc_id,
@@ -365,6 +409,29 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_fulltext": """
             SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                WHERE len(t) >= 3),
+            n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id)
+            SELECT a, b,
+                   CAST(floor((i * 1.0 / (na.n_sh + nb.n_sh - i)) * 100000 + 0.5) AS BIGINT)
+                       AS jaccard_e5
+            FROM inter
+            JOIN n na ON na.doc_id = a
+            JOIN n nb ON nb.doc_id = b
+            WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.5
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b,

@@ -6,21 +6,26 @@ Shuffle discipline (the part that matters at 100 TB):
                      in-batch first (map-side combine) so only
                      (key, min_id, count) partials move;
 - MinHash LSH      — per-doc signatures are embarrassingly parallel; the
-                     only shuffle is groupby(band, band_hash) whose keys are
-                     near-uniform by construction (hash buckets), so no salt
-                     is needed; candidate verification joins back through a
-                     broadcast of only the candidate docs' shingle sets;
+                     banding shuffle's keys are near-uniform by construction
+                     (hash buckets), so no salt is needed; candidate
+                     verification is a distributed inverted-index shingle
+                     self-join (_pair_counts) — only OUTPUT-scale artifacts
+                     (candidate pairs, candidate doc-id set) are ever
+                     broadcast, never anything corpus-sized;
+- n-gram Jaccard   — the same shingle join run exactly over all docs
+                     (ngram_jaccard_pairs), SQL-expressible → the driver
+                     oracle for the near-dup family;
 - SimHash          — signatures map-only; near-dup blocking groups by
                      16-bit bands (4 bands → Hamming ≤ 3 guaranteed caught);
-- embedding cosine — block-wise matmul against a broadcast matrix (small
-                     side via ray.put); the scale path replaces the
-                     broadcast with LSH bucketing (similarity.py).
+- embedding cosine — exact block-pair tiling (each task reads TWO blocks
+                     from the object store, no whole-matrix broadcast); the
+                     approximate scale path is LSH bucketing (similarity.py).
 """
 
 from __future__ import annotations
 
 import itertools
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -330,89 +335,258 @@ def jaccard(s1: Set[int], s2: Set[int]) -> float:
     return len(s1 & s2) / u if u else 0.0
 
 
+# ---------------------------------------------------------------------------
+# distributed shingle-join Jaccard (the verification backbone)
+# ---------------------------------------------------------------------------
+
+_WS_ASCII_RE = None
+
+
+def exact_tokens(text: str) -> List[str]:
+    """RE2-compatible whitespace tokenization ([ \\t\\n\\r\\f\\v]+, lowercased)
+    — matches DuckDB's regexp_split_to_array(lower(text), '\\s+') with empty
+    tokens filtered, so the SQL oracle tokenizes identically."""
+    global _WS_ASCII_RE
+    if _WS_ASCII_RE is None:
+        import re
+
+        _WS_ASCII_RE = re.compile(r"\s+", re.ASCII)
+    return [t for t in _WS_ASCII_RE.split((text or "").lower()) if t]
+
+
+def _empty_pairs_table() -> pa.Table:
+    return pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard_e5": pa.array([], pa.int64())}
+    )
+
+
+def _shuffle_partitions() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+def _pair_counts(sh: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """(a, b, inter, n_a, n_b) for every doc pair sharing ≥1 shingle.
+
+    Distributed inverted-index self-join: hash-join the (doc_id, shingle,
+    n_sh) rows on shingle (co-occurrence), keep a < b, pre-count per block
+    (Arrow group_by — the map-side combine), then one global groupby on the
+    pair key.  Everything corpus-sized moves through shuffles, never the
+    driver."""
+    joined = sh.join(
+        sh,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("shingle",),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        a = batch.column("doc_id_l" if "doc_id_l" in cols else "doc_id")
+        b = batch.column("doc_id_r")
+        keep = pc.less(a, b)
+        t = pa.table(
+            {
+                "a": pc.filter(a, keep),
+                "b": pc.filter(b, keep),
+                "n_a": pc.filter(batch.column("n_sh_l" if "n_sh_l" in cols else "n_sh"), keep),
+                "n_b": pc.filter(batch.column("n_sh_r"), keep),
+            }
+        )
+        g = t.group_by(["a", "b"]).aggregate(
+            [([], "count_all"), ("n_a", "min"), ("n_b", "min")]
+        )
+        return g.rename_columns(["a", "b", "p_inter", "n_a", "n_b"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(
+            Sum("p_inter", alias_name="inter"),
+            Min("n_a", alias_name="n_a"),
+            Min("n_b", alias_name="n_b"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs_ds: rd.Dataset, threshold: float = 0.5, shingle_k: int = 3,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs: every unordered doc pair with
+    |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold.
+
+    Exact by construction (no LSH): a pair with J > 0 shares ≥ 1 shingle, so
+    the inverted-index self-join enumerates every qualifying pair; docs with
+    fewer than ``shingle_k`` tokens have no shingles and never pair.  The
+    jaccard ships as an e5-scaled int64 (floor(J*1e5 + 0.5)) and shingles are
+    the literal k-token strings, so the whole operator is expressible in SQL
+    (unnest + self-join + group by) — this is the driver-checkable oracle for
+    the near-dup family, and the same join is what verifies MinHash candidate
+    pairs at scale.  Skew note: a shingle shared by m docs emits m² join
+    rows; for corpora with boilerplate n-grams, cap or drop top-frequency
+    shingles on BOTH sides first (idf-style), which only removes
+    non-discriminative intersections."""
+    P = num_partitions or _shuffle_partitions()
+
+    def shingle_batch(batch: pa.Table) -> pa.Table:
+        ids, shs, ns = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = exact_tokens(text)
+            if len(toks) < shingle_k:
+                continue
+            uniq = {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
+            ids.extend([doc_id] * len(uniq))
+            shs.extend(uniq)
+            ns.extend([len(uniq)] * len(uniq))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(shs, pa.string()),
+                "n_sh": pa.array(ns, pa.int64()),
+            }
+        )
+
+    sh = docs_ds.map_batches(shingle_batch, batch_format="pyarrow")
+    counts = _pair_counts(sh, P)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter = np.asarray(batch.column("inter").to_pylist(), dtype=np.float64)
+        union = (
+            np.asarray(batch.column("n_a").to_pylist(), dtype=np.float64)
+            + np.asarray(batch.column("n_b").to_pylist(), dtype=np.float64)
+            - inter
+        )
+        j = inter / union
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pc.filter(batch.column("a"), pa.array(keep)),
+                "b": pc.filter(batch.column("b"), pa.array(keep)),
+                "jaccard_e5": pa.array(
+                    np.floor(j[keep] * 100_000.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
 def near_dup_pairs_minhash(
     docs_ds: rd.Dataset,
     threshold: float = 0.7,
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-    distributed_candidates: bool = False,
+    num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
-    """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard.
+    """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard —
+    fully distributed, end to end:
 
-    Default path: ONE distributed pass computes band rows (16 narrow int
-    rows per doc); bucket grouping + pair enumeration run driver-side on
-    that pre-shrunk set — each extra Dataset execution costs ~1-2 s of fixed
-    overhead, which dwarfs this work below ~10^8 docs.  Set
-    ``distributed_candidates=True`` (or use minhash_candidate_pairs
-    directly) for the groupby-shuffle variant when band rows outgrow the
-    driver.  Verification broadcasts ONLY the shingle sets of docs appearing
-    in candidate pairs (tiny vs the corpus)."""
-    if distributed_candidates:
-        cands = minhash_candidate_pairs(docs_ds, num_perm, bands, shingle_k)
-        cand = pa.concat_tables([ray.get(r) for r in cands.to_arrow_refs()])
-        cand_pairs = set(zip(cand.column("a").to_pylist(), cand.column("b").to_pylist()))
-    else:
-        import functools
+      1. candidate pairs via the banding shuffle (minhash_candidate_pairs);
+      2. shingle rows (doc_id, shingle_hash, n_sh) for CANDIDATE docs only —
+         a broadcast semi-join filter (the distinct-candidate-doc set is
+         output-scale: bounded by the near-duplicate population, not the
+         corpus);
+      3. exact intersection counts via the distributed inverted-index
+         self-join (_pair_counts) — the "shuffle shingles to pair
+         partitions" step; nothing corpus-sized ever reaches the driver;
+      4. inner-join the counts back to the candidate pairs (verification is
+         defined over LSH candidates) and keep pairs with J >= threshold.
 
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            cpus = 4
-        fn = functools.partial(
-            _minhash_band_rows, num_perm=num_perm, bands=bands, shingle_k=shingle_k
-        )
-        band_rows = docs_ds.repartition(cpus * 2).map_batches(fn, batch_format="pyarrow")
-        buckets: Dict[Tuple[int, int], List[int]] = {}
-        for b in band_rows.iter_batches(batch_format="pyarrow"):
-            for d, band, h in zip(
-                b.column("doc_id").to_pylist(),
-                b.column("band").to_pylist(),
-                b.column("band_hash").to_pylist(),
-            ):
-                buckets.setdefault((band, h), []).append(d)
-        cand_pairs = set()
-        for ids in buckets.values():
-            if 2 <= len(ids) <= 256:
-                cand_pairs.update(itertools.combinations(sorted(ids), 2))
-    need: Set[int] = {d for p in cand_pairs for d in p}
+    Empty documents (no shingles) minhash to a constant signature, so they
+    are all mutual candidates with J(∅,∅)=1.0 — they carry an n_sh=0
+    sentinel row through the join and are special-cased in the finish."""
+    P = num_partitions or _shuffle_partitions()
+    cands = minhash_candidate_pairs(docs_ds, num_perm, bands, shingle_k)
+
+    # candidate pairs + their distinct doc ids are output-scale (bounded by
+    # the near-duplicate population, not the corpus) → broadcast both as
+    # semi-join filters; everything corpus-sized stays in shuffles
+    need: Set[int] = set()
+    cand_pairs: Set[Tuple[int, int]] = set()
+    for b in cands.select_columns(["a", "b"]).iter_batches(batch_format="pyarrow"):
+        aa, bb = b.column("a").to_pylist(), b.column("b").to_pylist()
+        cand_pairs.update(zip(aa, bb))
+        need.update(aa)
+        need.update(bb)
     if not need:
         return rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
         )
     need_ref = ray.put(need)
+    # an empty doc emits ONE sentinel row (n_sh=0) so empty-empty candidate
+    # pairs survive the join; a real 64-bit shingle hash colliding with the
+    # sentinel is ~2^-64 and would only add a spurious intersection of 1
+    _EMPTY_SENTINEL = -(1 << 62) + 41
 
     def shingles_of(batch: pa.Table) -> pa.Table:
         wanted = ray.get(need_ref)
-        ids, blobs = [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if doc_id in wanted:
+        ids, shs, ns = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if doc_id not in wanted:
+                continue
+            sh = word_shingles(text, shingle_k)
+            if sh:
+                arr = np.fromiter(sh, dtype=np.uint64, count=len(sh)).astype(np.int64)
+                ids.extend([doc_id] * len(sh))
+                shs.extend(arr.tolist())
+                ns.extend([len(sh)] * len(sh))
+            else:
                 ids.append(doc_id)
-                blobs.append(np.fromiter(word_shingles(text, shingle_k), dtype=np.uint64).tobytes())
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "shingles": pa.array(blobs, pa.binary())})
-
-    sh_tbl = pa.concat_tables(
-        [ray.get(r) for r in docs_ds.map_batches(shingles_of, batch_format="pyarrow").to_arrow_refs()]
-    )
-    sh_map = {
-        i: set(np.frombuffer(b, dtype=np.uint64).tolist())
-        for i, b in zip(sh_tbl.column("doc_id").to_pylist(), sh_tbl.column("shingles").to_pylist())
-    }
-    rows = []
-    for a, b in sorted(cand_pairs):
-        j = jaccard(sh_map[a], sh_map[b])
-        if j >= threshold:
-            rows.append((a, b, round(j, 5)))
-    return rd.from_arrow(
-        pa.table(
+                shs.append(_EMPTY_SENTINEL)
+                ns.append(0)
+        return pa.table(
             {
-                "a": pa.array([r[0] for r in rows], pa.int64()),
-                "b": pa.array([r[1] for r in rows], pa.int64()),
-                "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(shs, pa.int64()),
+                "n_sh": pa.array(ns, pa.int64()),
             }
         )
-    )
+
+    sh = docs_ds.map_batches(shingles_of, batch_format="pyarrow")
+    counts = _pair_counts(sh, P)
+    pairs_ref = ray.put(cand_pairs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # verification is defined over LSH candidates: pairs that merely
+        # share a shingle (but no band) are not part of this op's output
+        cp = ray.get(pairs_ref)
+        is_cand = pa.array(
+            [(x, y) in cp for x, y in zip(batch.column("a").to_pylist(),
+                                          batch.column("b").to_pylist())]
+        )
+        batch = batch.filter(is_cand)
+        inter = np.asarray(batch.column("inter").to_pylist(), dtype=np.float64)
+        n_a = np.asarray(batch.column("n_a").to_pylist(), dtype=np.float64)
+        n_b = np.asarray(batch.column("n_b").to_pylist(), dtype=np.float64)
+        union = n_a + n_b - inter
+        both_empty = (n_a == 0) & (n_b == 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(both_empty, 1.0, inter / np.where(union > 0, union, 1.0))
+        j = np.round(j, 5)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pc.filter(batch.column("a"), pa.array(keep)),
+                "b": pc.filter(batch.column("b"), pa.array(keep)),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
 
 
 def brute_force_jaccard_pairs(table: pa.Table, threshold: float, shingle_k: int = 3) -> List[Tuple[int, int, float]]:
@@ -513,42 +687,19 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 def embedding_near_dup_pairs(emb_ds: rd.Dataset, threshold: float = 0.95) -> rd.Dataset:
-    """Pairs (a < b) of embedding rows with cosine >= threshold.
+    """Pairs (a < b) of embedding rows with exact cosine >= threshold, via
+    block-pair tiling (similarity.pairwise_block_refs): each tile task reads
+    exactly TWO blocks from the object store and emits its qualifying pairs
+    — no whole-matrix broadcast, no driver materialization, O(N²/B²) FLOPs
+    per task.  Exact-quadratic by contract (the SQL oracle is the same
+    all-pairs join); the approximate scale path is the LSH-bucketed
+    within-bucket join (similarity.lsh_bucketed)."""
+    from .similarity import _pairs_tile, pairwise_block_refs
 
-    Small-side broadcast: the full unit-normalized matrix is ray.put once
-    and each batch does one [B, N] matmul.  Scale path: LSH-bucket both
-    sides (similarity.py bucketing) so each task only compares within a
-    bucket."""
-    rows = pa.concat_tables([ray.get(r) for r in emb_ds.to_arrow_refs()])
-    ids = np.asarray(rows.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(rows.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    unit = mat / norms
-    ids_ref, unit_ref = ray.put(ids), ray.put(unit)
-
-    def batch_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_unit = ray.get(ids_ref), ray.get(unit_ref)
-        b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        b_mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        n = np.linalg.norm(b_mat, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        cos = (b_mat / n) @ all_unit.T
-        bi, aj = np.nonzero(cos >= threshold)
-        out_a, out_b, out_c = [], [], []
-        for i, j in zip(bi.tolist(), aj.tolist()):
-            x, y = int(b_ids[i]), int(all_ids[j])
-            if x < y:  # each unordered pair emitted once (by its lower id's batch)
-                out_a.append(x)
-                out_b.append(y)
-                # e5-scaled int (floor(x*1e5+0.5)) — portable vs the SQL oracle
-                out_c.append(int(np.floor(float(cos[i, j]) * 100_000.0 + 0.5)))
-        return pa.table(
-            {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "cos_e5": pa.array(out_c, pa.int64()),
-            }
-        )
-
-    return emb_ds.map_batches(batch_pairs, batch_format="pyarrow")
+    refs = pairwise_block_refs(emb_ds)
+    tiles = [
+        _pairs_tile.remote(refs[i], refs[j], threshold)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return rd.from_arrow_refs(tiles)

@@ -60,48 +60,136 @@ def brute_force_topk(emb_ds: rd.Dataset, query: Sequence[float], k: int = 10) ->
     )
 
 
-def knn_top1(emb_ds: rd.Dataset) -> rd.Dataset:
-    """Each vector's nearest OTHER vector by cosine (a kNN self-join, k=1).
+# ---------------------------------------------------------------------------
+# exact pairwise kernels via block-pair tiling
+# ---------------------------------------------------------------------------
+# An exact all-pairs cosine computation is inherently O(N²) FLOPs, but it
+# does NOT require materializing the table anywhere: tile the cross product
+# over block pairs — every tile is one Ray task that reads exactly TWO
+# blocks from the object store (never the whole matrix, never the driver).
+# Expressing this in the Dataset API would need a cross-join; raw Ray tasks
+# over `to_arrow_refs()` block refs are the documented fallback for that.
+# Partitioning assumption: blocks have disjoint vec_ids.  For approximate
+# search at corpus scale use the LSH-bucketed path below instead.
 
-    Broadcast pattern: the full unit-normalized matrix (sorted by vec_id for
-    deterministic argmax tie-breaks) is ``ray.put`` once; each batch does one
-    [B, N] matmul.  Scale path: LSH-bucket both sides (lsh_bucketed) and
-    join within buckets."""
-    import pyarrow as _pa
+_I64MAX = np.iinfo(np.int64).max
 
-    rows = _pa.concat_tables([ray.get(r) for r in emb_ds.to_arrow_refs()])
-    ids = np.asarray(rows.column("vec_id").to_pylist(), dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    mat = np.asarray(rows.column("embedding").to_pylist(), dtype=np.float64)[order]
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+
+def _ids_unit(tbl: pa.Table):
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    if mat.ndim == 1:  # zero rows
+        mat = mat.reshape(0, 0)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True) if len(ids) else np.ones((0, 1))
     norms[norms == 0] = 1.0
-    unit = mat / norms
-    ids_ref, unit_ref = ray.put(ids), ray.put(unit)
+    return ids, mat / norms
 
-    def top1(batch: pa.Table) -> pa.Table:
-        all_ids, all_unit = ray.get(ids_ref), ray.get(unit_ref)
-        b_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        b_mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        n = np.linalg.norm(b_mat, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        cos = (b_mat / n) @ all_unit.T
-        # mask self-matches, then argmax (ties → lowest index = lowest vec_id)
-        for i, vid in enumerate(b_ids):
-            j = np.searchsorted(all_ids, vid)
-            if j < len(all_ids) and all_ids[j] == vid:
-                cos[i, j] = -np.inf
-        best = np.argmax(cos, axis=1)
-        best_cos = cos[np.arange(len(b_ids)), best]
+
+def _tile_count(n_cpus: int) -> int:
+    # B blocks → B(B+1)/2 tiles; aim for ~2 tiles per CPU
+    return max(2, int((4 * n_cpus) ** 0.5))
+
+
+def pairwise_block_refs(emb_ds: rd.Dataset):
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return emb_ds.repartition(_tile_count(cpus)).to_arrow_refs()
+
+
+@ray.remote
+def _pairs_tile(t1: pa.Table, t2: pa.Table, threshold: float) -> pa.Table:
+    ids1, u1 = _ids_unit(t1)
+    ids2, u2 = _ids_unit(t2)
+    if not len(ids1) or not len(ids2):
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "cos_e5": pa.array([], pa.int64())})
+    cos = u1 @ u2.T
+    ii, jj = np.nonzero(cos >= threshold)
+    a, b = ids1[ii], ids2[jj]
+    keep = a < b  # each unordered pair exactly once; drops self-pairs too
+    return pa.table(
+        {
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "cos_e5": pa.array(_e5(cos[ii, jj][keep]), pa.int64()),
+        }
+    )
+
+
+@ray.remote(num_returns=2)
+def _top1_tile(t1: pa.Table, t2: pa.Table, same: bool):
+    """Partial nearest-neighbor of t1 rows against t2 (and vice versa when
+    the tile is off-diagonal).  Ties break to the LOWEST nn_id within the
+    tile; the reduce step breaks ties across tiles the same way."""
+    empty = pa.table({"vec_id": pa.array([], pa.int64()), "nn_id": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+    ids1, u1 = _ids_unit(t1)
+    ids2, u2 = _ids_unit(t2)
+    if not len(ids1) or not len(ids2):
+        return empty, empty
+    cos = u1 @ u2.T
+    if same:
+        np.fill_diagonal(cos, -np.inf)
+
+    def side(c, row_ids, col_ids):
+        best = c.max(axis=1)
+        nn = np.where(c == best[:, None], col_ids[None, :], _I64MAX).min(axis=1)
         return pa.table(
             {
-                "vec_id": pa.array(b_ids, pa.int64()),
-                "nn_id": pa.array(all_ids[best], pa.int64()),
-                "cos_e5": pa.array(_e5(best_cos), pa.int64()),
+                "vec_id": pa.array(row_ids, pa.int64()),
+                "nn_id": pa.array(nn, pa.int64()),
+                "cos": pa.array(best, pa.float64()),
             }
         )
 
-    return emb_ds.map_batches(top1, batch_format="pyarrow")
+    left = side(cos, ids1, ids2)
+    right = empty if same else side(cos.T, ids2, ids1)
+    return left, right
+
+
+@ray.remote
+def _top1_reduce(*parts: pa.Table) -> pa.Table:
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({"vec_id": pa.array([], pa.int64()), "nn_id": pa.array([], pa.int64()),
+                         "cos_e5": pa.array([], pa.int64())})
+    # every partial for a block preserves the block's row order
+    ids = np.asarray(parts[0].column("vec_id").to_pylist(), dtype=np.int64)
+    cos = np.stack([np.asarray(p.column("cos").to_pylist(), dtype=np.float64) for p in parts])
+    nn = np.stack([np.asarray(p.column("nn_id").to_pylist(), dtype=np.int64) for p in parts])
+    best = cos.max(axis=0)
+    nn_best = np.where(cos == best[None, :], nn, _I64MAX).min(axis=0)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "nn_id": pa.array(nn_best, pa.int64()),
+            "cos_e5": pa.array(_e5(best), pa.int64()),
+        }
+    )
+
+
+def knn_top1(emb_ds: rd.Dataset) -> rd.Dataset:
+    """Each vector's nearest OTHER vector by exact cosine (kNN self-join,
+    k=1), via block-pair tiling + per-block tree reduce.
+
+    Tile (i, j) computes both directions of the i×j sub-matmul in one task;
+    a second task round reduces each block's ≤ 2B-1 partials (argmax with
+    min-nn_id tie-break, matching ``ORDER BY cos DESC, nn_id``).  No task or
+    the driver ever holds more than two blocks — the whole-matrix broadcast
+    this replaces died at corpus scale.  Exact-quadratic by contract; the
+    approximate scale path is lsh_bucketed + within-bucket join."""
+    refs = pairwise_block_refs(emb_ds)
+    partials: dict = {i: [] for i in range(len(refs))}
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            left, right = _top1_tile.remote(refs[i], refs[j], i == j)
+            partials[i].append(left)
+            if i != j:
+                partials[j].append(right)
+    reduced = [_top1_reduce.remote(*partials[i]) for i in range(len(refs))]
+    return rd.from_arrow_refs(reduced)
 
 
 # ---------------------------------------------------------------------------

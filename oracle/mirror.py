@@ -4,7 +4,10 @@ Control flow mirrors the reference exactly:
 - text resolution: corpus ``text`` column verbatim, else html→text
   (app/main.py:211-228 seam re-specified for the web corpus);
 - extraction: candidates → merge → per-span vector/context
-  (app/entity_extraction.py:157-204);
+  (app/entity_extraction.py:157-204) via oracle/independent.py — a
+  from-scratch re-derivation that imports NOTHING from the engine's
+  ``extraction`` package, so extraction parity is a genuine two-sided
+  check, not shared code verifying itself;
 - linking: per-mention full scan over all classes with the high-confidence
   fast path and strict-``>`` best tracking (app/lmss_classification.py:62-109
   — ``LinkerCore.match_naive``), post-process (:111-127), branch walk
@@ -21,10 +24,11 @@ from typing import Dict, List, Set, Tuple
 import pyarrow as pa
 
 from lmss_entity_extractor_ray.config import EngineConfig, DEFAULT_CONFIG
-from lmss_entity_extractor_ray.extraction.extractor import DocumentExtractor
 from lmss_entity_extractor_ray.functions.text import resolve_text
 from lmss_entity_extractor_ray.linking.core import LinkerCore, make_pred
 from lmss_entity_extractor_ray.ontology.artifacts import OntologyArtifacts
+
+from .independent import IndependentExtractor
 
 TRIPLE_SCHEMA = pa.schema(
     [
@@ -44,9 +48,11 @@ TRIPLE_SCHEMA = pa.schema(
 class ReferenceMirror:
     def __init__(self, artifacts: OntologyArtifacts, cfg: EngineConfig = DEFAULT_CONFIG):
         self.cfg = cfg
-        self.extractor = DocumentExtractor(
+        self.extractor = IndependentExtractor(
             artifacts.gazetteer_surface_forms(cfg.extractor.min_gazetteer_label_chars),
-            cfg.extractor,
+            top_k=cfg.extractor.top_keywords,
+            max_np_tokens=cfg.extractor.max_noun_phrase_tokens,
+            context_chars=cfg.extractor.context_chars,
         )
         self.linker = LinkerCore(artifacts, cfg.linker)
 

@@ -201,17 +201,50 @@ class TestDedup:
         assert {(100, 101), (100, 102), (101, 102)} <= got_pairs
         assert got_pairs == truth
 
-    def test_minhash_distributed_candidates_parity(self, ray_session):
+    def test_minhash_empty_doc_pairs(self, ray_session):
+        """Empty docs share the sentinel signature → mutual candidates with
+        J(∅,∅)=1.0; the distributed verify must keep them."""
         import ray.data as rd
 
         from lmss_entity_extractor_ray.ops.dedup import near_dup_pairs_minhash
 
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["", "   ", "alpha beta gamma delta"], pa.string()),
+            }
+        )
+        got = near_dup_pairs_minhash(rd.from_arrow(tbl), threshold=0.7).to_pandas()
+        assert sorted(zip(got["a"], got["b"])) == [(1, 2)]
+        assert got["jaccard"].tolist() == [1.0]
+
+    def test_ngram_jaccard_pairs_exact_vs_bruteforce(self, ray_session):
+        """The inverted-index join is EXACT: must equal all-pairs Jaccard over
+        distinct 3-token string shingles (docs with < k tokens excluded)."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens, ngram_jaccard_pairs
+
         tbl = _near_dup_corpus()
-        a = near_dup_pairs_minhash(rd.from_arrow(tbl), threshold=0.7).to_pandas()
-        b = near_dup_pairs_minhash(
-            rd.from_arrow(tbl), threshold=0.7, distributed_candidates=True
-        ).to_pandas()
-        assert sorted(zip(a["a"], a["b"])) == sorted(zip(b["a"], b["b"]))
+        got = ngram_jaccard_pairs(rd.from_arrow(tbl), threshold=0.3).to_pandas()
+        got_rows = sorted(zip(got["a"], got["b"], got["jaccard_e5"]))
+
+        def sh(text):
+            t = exact_tokens(text)
+            return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+        ids = tbl.column("doc_id").to_pylist()
+        sets = [sh(t) for t in tbl.column("text").to_pylist()]
+        exp = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if not sets[i] or not sets[j]:
+                    continue
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= 0.3:
+                    a, b = sorted((ids[i], ids[j]))
+                    exp.append((a, b, int(jac * 100_000 + 0.5)))
+        assert got_rows == sorted(exp)
 
     def test_simhash_near_dup_exact_blocking(self, ray_session):
         import itertools

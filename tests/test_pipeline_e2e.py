@@ -182,3 +182,56 @@ class TestRunnerResume:
         before = open(manifest).read()
         run_kg_pipeline(corpus_files, artifacts, out, num_shards=2, resume=True)
         assert open(manifest).read() == before  # nothing re-ran
+
+
+class TestExactLabelHits:
+    def test_matches_naive_substring_join(self, ray_session, artifacts, small_corpus):
+        """exact_label_hits (automaton, actor pool, Arrow normalize) must
+        equal a naive normalized-substring join — the same semantics the
+        DuckDB contains() oracle implements."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.pipelines.exact_hits import (
+            exact_label_hits,
+            forms_table,
+            normalize_alnum,
+        )
+
+        got = exact_label_hits(
+            rd.from_arrow(small_corpus.select(["url", "text"])), artifacts
+        ).to_pandas()
+        got_pairs = set(zip(got["url"], got["iri"]))
+
+        ft = forms_table(artifacts)
+        forms = list(zip(ft.column("form_norm").to_pylist(), ft.column("iri").to_pylist()))
+        exp = set()
+        for url, text in zip(
+            small_corpus.column("url").to_pylist(), small_corpus.column("text").to_pylist()
+        ):
+            norm = " " + normalize_alnum(text or "") + " "
+            for f, iri in forms:
+                if (" " + f + " ") in norm:
+                    exp.add((url, iri))
+        assert got_pairs == exp
+        assert len(exp) > 50  # the corpus plants surface forms, so hits exist
+
+    def test_substring_labels_hit_both_classes(self, ray_session, artifacts):
+        """'Intellectual Property' is a label AND a token-boundary prefix of
+        'Intellectual Property Practice' (fixture specials 4+5) — a document
+        containing the longer phrase must yield BOTH (url, iri) rows."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.pipelines.exact_hits import exact_label_hits
+
+        tbl = pa.table(
+            {
+                "url": pa.array(["https://x.example/1"], pa.string()),
+                "text": pa.array(
+                    ["Our Intellectual-Property   PRACTICE advises startups."], pa.string()
+                ),
+            }
+        )
+        got = exact_label_hits(rd.from_arrow(tbl), artifacts).to_pandas()
+        iris = set(got["iri"])
+        assert {"http://lmss.sali.org/IPLaw", "http://lmss.sali.org/IPLawPractice"} <= iris
