@@ -125,3 +125,39 @@ class TestClassify:
 
     def test_make_pred(self):
         assert make_pred("Area of Law") == "http://lmss.sali.org/hasClass/Area of Law"
+
+
+class TestLmssScaleParity:
+    def test_naive_equals_fast_at_5k_classes(self, tmp_path_factory):
+        """The pruned/vectorized-bound fast path must stay bit-identical to
+        the reference-faithful full scan at LMSS scale (~5k classes), where
+        the bound pruning actually does the work."""
+        from lmss_entity_extractor_ray.config import DEFAULT_CONFIG as cfg
+        from lmss_entity_extractor_ray.extraction.extractor import DocumentExtractor
+        from lmss_entity_extractor_ray.functions.text import resolve_text
+        from lmss_entity_extractor_ray.linking.core import LinkerCore
+        from lmss_entity_extractor_ray.ontology.artifacts import build_or_load
+        from lmss_entity_extractor_ray.ontology.fixture import write_fixture_owl
+        from lmss_entity_extractor_ray.pipelines.corpus import corpus_table, make_phrase_bank
+
+        owl = write_fixture_owl(
+            str(tmp_path_factory.mktemp("owl5k") / "fixture5k.owl"), n_classes=5000
+        )
+        art = build_or_load(owl, cache_root="/tmp/lmss_artifacts_test")
+        ex = DocumentExtractor(art.gazetteer_surface_forms(3), cfg.extractor)
+        lk = LinkerCore(art, cfg.linker)
+        corpus = corpus_table(24, seed=11, bank=make_phrase_bank(art))
+        seen = set()
+        checked = 0
+        for text, html in zip(
+            corpus.column("text").to_pylist(), corpus.column("html").to_pylist()
+        ):
+            for m in ex.extract(resolve_text(text, html)):
+                if m["text"] in seen:
+                    continue
+                seen.add(m["text"])
+                naive = lk.match_naive(m["text"], m["vector"])
+                fast = lk._match_fast_uncached(m["text"], m["vector"])
+                assert naive == fast, (m["text"], naive, fast)
+                checked += 1
+        assert checked > 40
