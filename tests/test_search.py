@@ -66,3 +66,34 @@ class TestSearch:
                 assert iri in search.descendants(by_label[b]), iri
                 checked += 1
         assert checked > 10
+
+
+class TestReferenceFormulaParity:
+    def test_vector_term_off_reproduces_reference_formula(self, artifacts):
+        """With the vector term off (the reference's JSON index never carries
+        embeddings, so its 0.4*vector term is ALWAYS 0 —
+        app/lmss_search.py:106-110), the search must equal an independent
+        evaluation of the literal reference formula
+        0.3*token_set_ratio + 0.3*partial_ratio + 0.4*0 with score>0 filter,
+        stable desc sort, top-10 (app/lmss_search.py:81-104)."""
+        from lmss_entity_extractor_ray.functions.fuzzy import (
+            partial_ratio,
+            token_set_ratio,
+        )
+        from lmss_entity_extractor_ray.search import OntologySearch
+
+        s = OntologySearch(artifacts)
+        for q in ("securities law compliance", "intellectual property", "tax", "zzz"):
+            got = s.search(q, vector_term=False)
+            ql = q.lower()
+            exp = []
+            for iri, label in zip(artifacts.iris, artifacts.labels):
+                score = (
+                    0.3 * (token_set_ratio(ql, label.lower()) / 100)
+                    + 0.3 * (partial_ratio(ql, label.lower()) / 100)
+                    + 0.4 * 0.0
+                )
+                if score > 0:
+                    exp.append({"iri": iri, "label": label, "score": round(score, 6)})
+            exp.sort(key=lambda r: -r["score"])
+            assert got == exp[:10], q
