@@ -36,7 +36,9 @@ class LinkerConfig:
     high_confidence_threshold: float = 0.9
     # Linker-side result cache (mention text -> match); linking is a pure
     # function of the mention text, and web-corpus mention texts are Zipfian.
-    cache_size: int = 200_000
+    # Entries are ~150 B, the dict is process-global (shared across actors
+    # of one worker process), so 1M entries ≈ 150 MB/process.
+    cache_size: int = 1_000_000
 
 
 @dataclass(frozen=True)

@@ -22,6 +22,25 @@ from ..functions.embedding import embed_text
 from .candidates import all_candidates
 from .merge import merge_spans
 
+# process-global: embed_text is a pure text→vector function, so the memo is
+# shared across extractor instances and survives Ray's per-execution actor
+# re-creation (worker processes are reused within a session)
+_EMBED_CACHE: Dict[str, np.ndarray] = {}
+
+# process-global automaton cache: the trie build over ~10^4 surface forms is
+# identical for every actor of a pipeline — key by the forms' content hash
+_AUTOMATON_CACHE: Dict[int, AhoCorasick] = {}
+
+
+def _automaton_for(surface_forms) -> AhoCorasick:
+    key = hash(tuple(surface_forms))
+    auto = _AUTOMATON_CACHE.get(key)
+    if auto is None:
+        auto = AhoCorasick(surface_forms)
+        if len(_AUTOMATON_CACHE) < 8:
+            _AUTOMATON_CACHE[key] = auto
+    return auto
+
 
 class DocumentExtractor:
     def __init__(
@@ -31,8 +50,8 @@ class DocumentExtractor:
         plugins: Optional[List] = None,
     ):
         self.cfg = cfg
-        self.automaton = AhoCorasick(surface_forms) if surface_forms else None
-        self._embed_cache: Dict[str, np.ndarray] = {}
+        self.automaton = _automaton_for(surface_forms) if surface_forms else None
+        self._embed_cache: Dict[str, np.ndarray] = _EMBED_CACHE
         # mention-source plugins: callables text -> [(text, start, end, type)]
         # — the engine's equivalent of the reference's spaCy component hook
         # (@Language.component("combined_extractor"),

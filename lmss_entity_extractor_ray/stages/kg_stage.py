@@ -40,6 +40,29 @@ def _resolve(ref_or_value):
     return ref_or_value
 
 
+# Process-global stage cache for the TASK-based execution path.  Ray actor
+# processes die when their pool is torn down, so per-actor state (and any
+# module globals inside an actor process) is lost between Dataset
+# executions; plain-task worker processes are REUSED for the whole session.
+# Running the fused stage as tasks with a per-process KGStage keyed by
+# (ontology sha, config) keeps the automaton, the linker's bound index and
+# the mention-link memo warm across blocks AND executions — on repeated /
+# long-lived jobs this removes the duplicated per-actor cold phase that
+# cost ~25 scaling-efficiency points at 16 CPUs.
+_STAGE_CACHE: Dict[tuple, "KGStage"] = {}
+
+
+def kg_stage_task(batch: pa.Table, artifacts_ref=None, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    art = _resolve(artifacts_ref)
+    key = (getattr(art, "owl_sha256", "") or str(id(art)), cfg)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = KGStage(art, cfg)
+        if len(_STAGE_CACHE) < 4:
+            _STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 class KGStage:
     """__init__ once per actor: automaton + embedder cache + class matrix +
     branch closure (reference singletons A1-A3, SURVEY.md §2.3)."""
