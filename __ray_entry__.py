@@ -284,6 +284,12 @@ def _q_lsh_topk(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
 
 
+def _q_ivf_topk(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.similarity import ivf_topk
+
+    return ivf_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
+
+
 def _q_hash_sample(sf_dir: str):
     from lmss_entity_extractor_ray.ops.sampling import hash_sample
 
@@ -383,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "knn_top1": _q_knn_top1,
         # event-time windowed aggregate
         "events_hourly": _q_events_hourly,

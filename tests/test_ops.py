@@ -341,6 +341,29 @@ class TestSimilarity:
         df = lsh_bucketed(emb_ds, dim=64).limit(5).to_pandas()
         assert "bucket" in df.columns
 
+    def test_ivf_topk_full_probe_equals_bruteforce(self, ray_session, emb_ds, emb_tbl):
+        """Probing every centroid degenerates IVF to a full scan — the result
+        must equal the exact baseline (same float formula by construction)."""
+        from lmss_entity_extractor_ray.ops.similarity import ivf_topk
+
+        q = np.array(emb_tbl.column("embedding")[7].as_py(), dtype=np.float64)
+        df = ivf_topk(emb_ds, q, k=10, n_centroids=8, n_probe=8).to_pandas()
+        got = list(zip(df["vec_id"].tolist(), df["cos_e5"].tolist()))
+        assert got == self._brute(emb_tbl, q, 10)
+
+    def test_ivf_topk_probe_subset_recall(self, ray_session, emb_ds, emb_tbl):
+        from lmss_entity_extractor_ray.ops.similarity import ivf_topk
+
+        q = np.array(emb_tbl.column("embedding")[7].as_py(), dtype=np.float64)
+        truth_ids = {i for i, _ in self._brute(emb_tbl, q, 10)}
+        df = ivf_topk(emb_ds, q, k=10, n_centroids=8, n_probe=4).to_pandas()
+        got_ids = set(df["vec_id"].tolist())
+        assert len(got_ids & truth_ids) >= 3
+        assert emb_tbl.column("vec_id")[7].as_py() in got_ids
+        # determinism: same seed → same result
+        df2 = ivf_topk(emb_ds, q, k=10, n_centroids=8, n_probe=4).to_pandas()
+        assert df.equals(df2)
+
 
 # ---------------------------------------------------------------------------
 # sampling
