@@ -195,6 +195,27 @@ def kg_child(num_cpus: int, n_docs: int) -> None:
 
     import ray
 
+    diag = {}
+    if os.environ.get("KG_DIAG"):
+        # per-worker-process link-cache sizes: total cache entries across
+        # processes ≈ total cold links paid (duplicated per process)
+        @ray.remote(num_cpus=0.01)
+        def probe():
+            import os as _os
+
+            from lmss_entity_extractor_ray.linking import core as _core
+
+            sizes = {id(c): len(c) for c in _core._GLOBAL_CACHE.values()}
+            return (_os.getpid(), sum(sizes.values()))
+
+        got = ray.get([probe.remote() for _ in range(400)])
+        by_pid = dict(got)
+        diag = {
+            "workers_probed": len(by_pid),
+            "cache_total": sum(by_pid.values()),
+            "cache_max": max(by_pid.values(), default=0),
+        }
+
     ray.shutdown()
     print(
         json.dumps(
@@ -204,6 +225,7 @@ def kg_child(num_cpus: int, n_docs: int) -> None:
                 "wall_s": round(wall, 2),
                 "docs_per_sec": round(n_docs / wall, 1),
                 "triples": triples,
+                **diag,
             }
         )
     )

@@ -74,6 +74,11 @@ class RunConfig:
     extractor_concurrency: tuple | None = None
     linker_concurrency: tuple | None = None
     num_shards: int = 8               # checkpoint granularity (resume unit)
+    # KG execution plan: "distinct" (link each distinct mention text once
+    # globally — the scale default; see pipelines/kg.py), "fused" (single
+    # task stage with per-process memos — lowest fixed cost for small
+    # corpora), or "modular" (two actor pools — the debuggable path).
+    link_mode: str = "distinct"
     salt_buckets: int = 16            # salting for skewed per-class aggregates
     # The Linker's in-batch dedup is globally exact because linker batches
     # are whole doc-aligned blocks and urls are unique (pipelines/kg.py);

@@ -71,10 +71,13 @@ class DocumentExtractor:
                 self._embed_cache[text] = vec
         return vec
 
-    def extract(self, text: str) -> List[Dict]:
-        """Mention records for one document: ``text/start/end/type/source/
-        context/confidence/vector``.  Empty or whitespace-only input returns
-        ``[]`` (guard, app/entity_extraction.py:160-162)."""
+    def extract_spans(self, text: str) -> List:
+        """Merged mention spans ``(text, start, end, type)`` WITHOUT context
+        windows or embedding vectors — the cheap first pass of the
+        distinct-link pipeline (pipelines/kg.py), where vectors are computed
+        once per DISTINCT mention text instead of once per occurrence.
+        Same candidates + merge as :meth:`extract`, so span parity with the
+        fused path is structural."""
         if not text or not text.strip():
             return []
         # plugin spans go FIRST: merge_spans sorts by (start, -end) with a
@@ -92,7 +95,15 @@ class DocumentExtractor:
                 max_noun_phrase_tokens=self.cfg.max_noun_phrase_tokens,
             )
         )
-        merged = merge_spans(candidates)
+        return merge_spans(candidates)
+
+    def extract(self, text: str) -> List[Dict]:
+        """Mention records for one document: ``text/start/end/type/source/
+        context/confidence/vector``.  Empty or whitespace-only input returns
+        ``[]`` (guard, app/entity_extraction.py:160-162)."""
+        if not text or not text.strip():
+            return []
+        merged = self.extract_spans(text)
 
         mentions: List[Dict] = []
         ctx = self.cfg.context_chars

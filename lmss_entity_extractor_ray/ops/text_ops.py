@@ -100,39 +100,95 @@ def quality_scores(ds: rd.Dataset) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 _LANG_PROFILES: Dict[str, tuple] = {
-    # top discriminative bigrams per language (hand-frozen public knowledge)
-    "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
-    "de": ("en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "sch"),
-    "fr": ("es", "le", "de", "en", "re", "nt", "on", "er", "ou", "qu"),
+    # top discriminative character bigrams per Latin-script language, most
+    # frequent first (hand-frozen public corpus-frequency knowledge)
+    "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ng", "of"),
+    "de": ("en", "er", "ch", "de", "ei", "ie", "te", "nd", "un", "ge", "sc", "ic"),
+    "fr": ("es", "le", "de", "en", "re", "nt", "on", "ou", "qu", "ai", "ur", "é "),
+    "es": ("de", "la", "os", "es", "ar", "el", "ue", "ra", "as", "ón", "ci", "ad"),
+    "it": ("di", "la", "to", "co", "io", "ll", "no", "zi", "tt", "gl", "cc", "it"),
+    "pt": ("de", "os", "ão", "ar", "ra", "as", "do", "co", "qu", "nh", "çã", "em"),
+    "nl": ("en", "de", "et", "an", "ij", "ge", "aa", "va", "ee", "oo", "ke", "we"),
+    "sv": ("en", "ar", "de", "et", "an", "tt", "om", "fö", "år", "ka", "så", "ns"),
+    "pl": ("ie", "ni", "po", "na", "ow", "rz", "cz", "sz", "dz", "ej", "ch", "wi"),
+    "tr": ("ar", "la", "an", "er", "in", "le", "ir", "bi", "ık", "ğı", "iy", "ka"),
 }
+
+# Unicode-script shortcut: non-Latin scripts identify the language family
+# far more reliably than bigrams; checked before any bigram scoring.
+# (range, lang) — coarse single-language mapping per script.
+_SCRIPT_RANGES = (
+    ((0x0400, 0x04FF), "ru"),   # Cyrillic
+    ((0x0370, 0x03FF), "el"),   # Greek
+    ((0x0590, 0x05FF), "he"),   # Hebrew
+    ((0x0600, 0x06FF), "ar"),   # Arabic
+    ((0x0900, 0x097F), "hi"),   # Devanagari
+    ((0x0E00, 0x0E7F), "th"),   # Thai
+    ((0xAC00, 0xD7AF), "ko"),   # Hangul syllables
+    ((0x3040, 0x30FF), "ja"),   # Hiragana + Katakana
+    ((0x4E00, 0x9FFF), "zh"),   # CJK unified (after ja check: kana wins)
+)
 
 
 class LangId:
     """Stateful n-gram language scorer — built once per actor (the pattern
     for model-backed language ID; this deterministic profile scorer is the
-    in-container stand-in)."""
+    in-container stand-in).
+
+    Two tiers: (1) Unicode-script vote — if ≥ 30% of sampled characters
+    fall in one non-Latin script range, that script's language is returned
+    directly (ja is checked before zh so kana beats shared CJK ideographs);
+    (2) Latin-script bigram profiles: each sampled bigram is looked up ONCE
+    in a merged {bigram → weight vector} dict and accumulated with numpy —
+    per-doc cost is O(sampled bigrams), independent of profile count."""
 
     def __init__(self):
-        self.profiles = {
-            lang: {g: len(grams) - i for i, g in enumerate(grams)}
-            for lang, grams in _LANG_PROFILES.items()
-        }
+        self.langs = sorted(_LANG_PROFILES)
+        merged: Dict[str, np.ndarray] = {}
+        for li, lang in enumerate(self.langs):
+            grams = _LANG_PROFILES[lang]
+            for i, g in enumerate(grams):
+                vec = merged.get(g)
+                if vec is None:
+                    vec = np.zeros(len(self.langs), dtype=np.float64)
+                    merged[g] = vec
+                vec[li] = len(grams) - i
+        self.merged = merged
 
     def _score_one(self, text: str) -> str:
         if not text:
             return "und"
         t = text.lower()
-        scores = {lang: 0 for lang in self.profiles}
-        n = len(t) - 1
-        step = max(1, n // 2000)  # cap work per doc; sample bigrams
-        for i in range(0, n, step):
-            bg = t[i : i + 2]
-            for lang, prof in self.profiles.items():
-                w = prof.get(bg)
-                if w:
-                    scores[lang] += w
-        best = max(sorted(scores), key=lambda k: scores[k])
-        return best if scores[best] > 0 else "und"
+        n = len(t)
+        step = max(1, (n - 1) // 2000)  # cap work per doc; sample bigrams
+
+        # tier 1: script vote over the sampled characters
+        sampled = t[::step] if step > 1 else t
+        counts = [0] * len(_SCRIPT_RANGES)
+        for ch in sampled:
+            cp = ord(ch)
+            if cp < 0x0370:
+                continue
+            for i, ((lo, hi), _) in enumerate(_SCRIPT_RANGES):
+                if lo <= cp <= hi:
+                    counts[i] += 1
+                    break
+        total = max(1, len(sampled))
+        for i, ((_, _), lang) in enumerate(_SCRIPT_RANGES):
+            if counts[i] / total >= 0.30:
+                return lang
+
+        # tier 2: bigram profiles (Latin scripts)
+        scores = np.zeros(len(self.langs), dtype=np.float64)
+        merged = self.merged
+        for i in range(0, n - 1, step):
+            vec = merged.get(t[i : i + 2])
+            if vec is not None:
+                scores += vec
+        if not scores.any():
+            return "und"
+        # deterministic tie-break: lowest lang code (langs is sorted)
+        return self.langs[int(np.argmax(scores))]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = pc.fill_null(batch.column("text"), "").to_pylist()

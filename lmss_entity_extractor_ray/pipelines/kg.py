@@ -94,21 +94,151 @@ def mentions_dataset(
     )
 
 
+def triples_dataset_distinct(
+    corpus_ds: rd.Dataset,
+    artifacts: OntologyArtifacts,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    global_dedup: Optional[bool] = None,
+) -> rd.Dataset:
+    """Distinct-link KG pipeline — the flagship scale path.
+
+    Linking is a pure function of the mention TEXT, so link each distinct
+    text exactly ONCE globally instead of once per (worker process × text):
+    with per-process memo caches (the fused path), total cold-link work
+    grows with worker count — measured on the 2M-doc scaling corpus at 5k
+    classes: 4 workers paid 629k cold links, 16 workers 1.12M for the same
+    input, capping scaling efficiency at ~0.70.  Here cold work is
+    O(global distinct texts) (~350k on that corpus) at ANY parallelism.
+
+    Stages:
+      1. doc blocks → mention-span rows (no vectors), materialized —
+         the mention table is ~1-2% of corpus bytes and is the pivot both
+         later stages read; callers that shard (pipelines/runner.py) bound
+         it per shard, which is the resume unit at petabyte scale;
+      2. per-block distinct texts → ONE hash exchange on text →
+         link each distinct text once per partition (match_fast, same
+         kernels as the fused path → bit-identical scores);
+      3. matched vocabulary (texts that link — bounded by the
+         ontology-derived surface vocabulary, NOT corpus size) broadcast
+         via ray.put → doc-aligned second pass over the mention table:
+         dict lookup + post_process + exact per-(url, pred, obj) keep-best.
+    """
+    import functools
+    import os
+    import time
+
+    from ..stages.kg_stage import (
+        link_distinct_task,
+        link_lookup_task,
+        mention_extract_task,
+    )
+
+    _phases = bool(os.environ.get("KG_PHASES"))
+    _t0 = time.perf_counter()
+
+    artifacts_ref = ray.put(artifacts)
+    mentions = corpus_ds.map_batches(
+        functools.partial(mention_extract_task, artifacts_ref=artifacts_ref, cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=None,  # whole doc-aligned blocks
+        num_cpus=1,
+    ).materialize()
+    if _phases:
+        print(f"[kg-phase] extract+materialize {time.perf_counter() - _t0:.2f}s")
+        _t0 = time.perf_counter()
+
+    # Many small partitions, not one per CPU: a partition's links run as a
+    # serial Python loop inside one map_groups task, and Ray packs multiple
+    # groups per output block — with nparts == CPUs a task that lands 2-4
+    # groups becomes a multi-minute straggler while other cores idle
+    # (measured: 16 partitions at 16 CPUs ran the link stage ~4-way
+    # parallel).  ~8 per CPU keeps each group a few seconds and lets the
+    # scheduler even out the waves.
+    nparts = 8 * _shuffle_partitions()
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column("mtext"))
+        parts = [zlib.crc32(t.encode("utf-8")) % nparts for t in u.to_pylist()]
+        return pa.table(
+            {"mtext": u, "part": pa.array(parts, pa.int32())}
+        )
+
+    linked = (
+        mentions.select_columns(["mtext"])
+        .map_batches(block_distinct, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            functools.partial(link_distinct_task, artifacts_ref=artifacts_ref, cfg=cfg),
+            batch_format="pyarrow",
+        )
+    )
+    # small-side collect: matched DISTINCT texts only (ontology-bounded),
+    # broadcast once via ray.put — not a corpus-sized materialization.
+    # Empty shuffle partitions arrive as schema-less zero-column blocks
+    # (Ray internals) — drop them before concat.
+    from ..stages.kg_stage import MATCH_SCHEMA
+
+    tables = [
+        t for t in (ray.get(r) for r in linked.to_arrow_refs()) if t.num_rows > 0
+    ]
+    matched = (
+        pa.concat_tables(tables).combine_chunks()
+        if tables
+        else MATCH_SCHEMA.empty_table()
+    )
+    matched_ref = ray.put(matched)
+    if _phases:
+        print(
+            f"[kg-phase] distinct-link {time.perf_counter() - _t0:.2f}s "
+            f"(matched vocab {matched.num_rows} texts)"
+        )
+
+    ds = mentions.map_batches(
+        functools.partial(link_lookup_task, matched_ref=matched_ref, cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=None,  # whole doc-aligned blocks → exact per-url dedup
+        num_cpus=1,
+    )
+    if global_dedup is None:
+        global_dedup = cfg.run.global_dedup
+    if global_dedup:
+        ds = dedup_triples(ds)
+    return ds
+
+
+def _shuffle_partitions() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
 def triples_dataset(
     corpus_ds: rd.Dataset,
     artifacts: OntologyArtifacts,
     cfg: EngineConfig = DEFAULT_CONFIG,
     global_dedup: Optional[bool] = None,
     fused: bool = True,
+    mode: Optional[str] = None,
 ) -> rd.Dataset:
     """Lazy triples Dataset for a corpus Dataset.
 
-    ``fused=True`` (default, the measured-fast path) runs text-resolve +
-    extraction + linking + per-url dedup in ONE actor pool (stages/kg_stage)
-    so per-mention embedding vectors never enter the object store;
-    ``fused=False`` runs the modular two-pool pipeline (mentions Dataset →
-    Linker) — same output, used by mention-level queries and tests."""
-    if fused:
+    ``mode`` selects the execution plan (same output rows from all three):
+
+    - ``"distinct"`` (default) — triples_dataset_distinct: link each
+      distinct mention text once globally; the scale path (cold-link work
+      independent of worker count).
+    - ``"fused"`` — text-resolve + extraction + linking + per-url dedup in
+      ONE task stage with per-process memo caches; lowest fixed cost, best
+      for small/one-shot corpora; cold work grows with worker count.
+    - ``"modular"`` (or ``fused=False``) — the two-pool pipeline (mentions
+      Dataset → Linker actors) — the debuggable path feeding the
+      mention-level queries."""
+    if mode is None:
+        mode = cfg.run.link_mode if fused else "modular"
+    if mode == "distinct":
+        return triples_dataset_distinct(corpus_ds, artifacts, cfg, global_dedup)
+    if mode == "fused":
         import functools
 
         from ..stages.kg_stage import kg_stage_task

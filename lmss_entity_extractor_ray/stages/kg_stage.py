@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..extraction.extractor import DocumentExtractor
@@ -50,6 +51,200 @@ def _resolve(ref_or_value):
 # long-lived jobs this removes the duplicated per-actor cold phase that
 # cost ~25 scaling-efficiency points at 16 CPUs.
 _STAGE_CACHE: Dict[tuple, "KGStage"] = {}
+
+
+MENTION_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("mtext", pa.string()),
+        ("mtype", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+    ]
+)
+
+# extract-only per-process cache (distinct-link pipeline first pass): just
+# the automaton + merge machinery, no linker matrices
+_EXTRACTOR_CACHE: Dict[tuple, object] = {}
+
+
+def _extractor_for(art, cfg: EngineConfig):
+    key = (getattr(art, "owl_sha256", "") or str(id(art)), cfg.extractor)
+    ex = _EXTRACTOR_CACHE.get(key)
+    if ex is None:
+        ex = DocumentExtractor(
+            art.gazetteer_surface_forms(cfg.extractor.min_gazetteer_label_chars),
+            cfg.extractor,
+        )
+        if len(_EXTRACTOR_CACHE) < 4:
+            _EXTRACTOR_CACHE[key] = ex
+    return ex
+
+
+def mention_extract_task(
+    batch: pa.Table, artifacts_ref=None, cfg: EngineConfig = DEFAULT_CONFIG
+) -> pa.Table:
+    """First pass of the distinct-link pipeline: doc block → mention-span
+    rows (url, mtext, mtype, start, end), NO vectors — embeddings are
+    computed once per DISTINCT text downstream, not once per occurrence.
+    Rows stay in doc order, so a block's mentions remain doc-aligned for the
+    exact per-url keep-best in the second pass."""
+    art = _resolve(artifacts_ref)
+    ex = _extractor_for(art, cfg)
+    urls = batch.column("url").to_pylist()
+    texts = batch.column("text").to_pylist()
+    htmls = (
+        batch.column("html").to_pylist()
+        if "html" in batch.column_names
+        else [None] * len(urls)
+    )
+    out_url, out_text, out_type, out_s, out_e = [], [], [], [], []
+    for url, text, html in zip(urls, texts, htmls):
+        for m_text, s, e, m_type in ex.extract_spans(resolve_text(text, html)):
+            out_url.append(url)
+            out_text.append(m_text)
+            out_type.append(m_type)
+            out_s.append(s)
+            out_e.append(e)
+    return pa.table(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "mtext": pa.array(out_text, pa.string()),
+            "mtype": pa.array(out_type, pa.string()),
+            "start": pa.array(out_s, pa.int32()),
+            "end": pa.array(out_e, pa.int32()),
+        }
+    )
+
+
+MATCH_SCHEMA = pa.schema(
+    [
+        ("mtext", pa.string()),
+        ("obj", pa.string()),
+        ("label", pa.string()),
+        ("score", pa.float32()),
+        ("branch", pa.string()),
+    ]
+)
+
+# per-process linker cache for the distinct-link stage (no extractor needed)
+_LINKER_CACHE: Dict[tuple, LinkerCore] = {}
+
+
+def _linker_for(art, cfg: EngineConfig) -> LinkerCore:
+    key = (getattr(art, "owl_sha256", "") or str(id(art)), cfg.linker)
+    lk = _LINKER_CACHE.get(key)
+    if lk is None:
+        lk = LinkerCore(art, cfg.linker)
+        if len(_LINKER_CACHE) < 4:
+            _LINKER_CACHE[key] = lk
+    return lk
+
+
+def link_distinct_task(
+    group: pa.Table, artifacts_ref=None, cfg: EngineConfig = DEFAULT_CONFIG
+) -> pa.Table:
+    """Link every DISTINCT mention text in one hash partition exactly once.
+    Emits matched texts only — misses produce no triples, so they never
+    need to travel.  match_fast + embed_text are the same kernels the fused
+    path uses, so scores are bit-identical."""
+    from ..functions.embedding import embed_text
+
+    art = _resolve(artifacts_ref)
+    linker = _linker_for(art, cfg)
+    texts = pc.unique(group.column("mtext")).to_pylist()
+    m_out, o_out, l_out, s_out, b_out = [], [], [], [], []
+    for t in texts:
+        match = linker.match_fast(t, embed_text(t))
+        if match is None:
+            continue
+        iri, label, score = match
+        m_out.append(t)
+        o_out.append(iri)
+        l_out.append(label)
+        s_out.append(score)
+        b_out.append(linker.branch(iri))
+    return pa.table(
+        {
+            "mtext": pa.array(m_out, pa.string()),
+            "obj": pa.array(o_out, pa.string()),
+            "label": pa.array(l_out, pa.string()),
+            "score": pa.array(s_out, pa.float32()),
+            "branch": pa.array(b_out, pa.string()),
+        }
+    )
+
+
+# per-process decoded broadcast vocab: {mtext: (obj, label, score, branch)},
+# keyed by the ObjectRef so a new vocab (new corpus/ontology) re-decodes
+_VOCAB_CACHE: Dict[str, dict] = {}
+
+
+def _vocab_for(matched_ref) -> dict:
+    key = matched_ref.hex() if hasattr(matched_ref, "hex") else str(id(matched_ref))
+    vocab = _VOCAB_CACHE.get(key)
+    if vocab is None:
+        tbl = _resolve(matched_ref)
+        vocab = dict(
+            zip(
+                tbl.column("mtext").to_pylist(),
+                zip(
+                    tbl.column("obj").to_pylist(),
+                    tbl.column("label").to_pylist(),
+                    tbl.column("score").to_pylist(),
+                    tbl.column("branch").to_pylist(),
+                ),
+            )
+        )
+        _VOCAB_CACHE.clear()  # one vocab per session is the common case
+        _VOCAB_CACHE[key] = vocab
+    return vocab
+
+
+def link_lookup_task(
+    batch: pa.Table, matched_ref=None, cfg: EngineConfig = DEFAULT_CONFIG
+) -> pa.Table:
+    """Second pass of the distinct-link pipeline: mention rows → triples via
+    a broadcast {distinct text → match} lookup.  Replicates the fused
+    stage's post_process + per-(url, pred, obj) keep-best exactly (mention
+    rows arrive in the fused path's doc order)."""
+    vocab = _vocab_for(matched_ref)
+    urls = batch.column("url").to_pylist()
+    mtexts = batch.column("mtext").to_pylist()
+    mtypes = batch.column("mtype").to_pylist()
+    starts = batch.column("start").to_pylist()
+    ends = batch.column("end").to_pylist()
+
+    best: Dict[Tuple[str, str, str], dict] = {}
+    for url, m_text, m_type, start, end in zip(urls, mtexts, mtypes, starts, ends):
+        hit = vocab.get(m_text)
+        if hit is None:
+            continue
+        iri, label, score, branch = hit
+        # post_process (linking/core.py:286-295) inlined: the Location
+        # early-return changes nothing (the fallthrough also passes), so
+        # only the VERB rule filters
+        if m_type == "VERB" and score < 0.7:
+            continue
+        key = (url, make_pred(branch), iri)
+        cur = best.get(key)
+        if (
+            cur is None
+            or score > cur["score"]
+            or (score == cur["score"] and start < cur["start"])
+        ):
+            best[key] = {
+                "subj": key[0],
+                "pred": key[1],
+                "obj": key[2],
+                "branch": branch,
+                "label": label,
+                "score": score,
+                "start": start,
+                "end": end,
+                "text": m_text,
+            }
+    return triples_to_table(list(best.values()))
 
 
 def kg_stage_task(batch: pa.Table, artifacts_ref=None, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:

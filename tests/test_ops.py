@@ -86,6 +86,67 @@ class TestTextOps:
         # a clear majority en
         assert (df["lang_pred"] == "en").mean() > 0.5
 
+    def test_lang_id_sample_sentences(self):
+        """Accuracy corpus: a few unambiguous sentences per language; script
+        languages must be exact, Latin-script languages ≥ 80% overall."""
+        from lmss_entity_extractor_ray.ops.text_ops import LangId
+
+        latin = {
+            "en": [
+                "The quick brown fox jumps over the lazy dog and then rests in the shade of the old tree.",
+                "This agreement shall be governed by the laws of the state in which the parties reside.",
+            ],
+            "de": [
+                "Der schnelle braune Fuchs springt über den faulen Hund und ruht sich dann unter dem Baum aus.",
+                "Die Entscheidung des Gerichts wurde von allen Beteiligten ausdrücklich begrüßt und anerkannt.",
+            ],
+            "fr": [
+                "Le renard brun et rapide saute par-dessus le chien paresseux avant de se reposer à l'ombre.",
+                "Cette décision est susceptible de faire l'objet d'un recours devant la cour d'appel.",
+            ],
+            "es": [
+                "La decisión del tribunal fue celebrada por la mayoría de los ciudadanos de la región.",
+                "El zorro marrón salta rápidamente sobre el perro perezoso y descansa bajo el árbol.",
+            ],
+            "it": [
+                "La decisione della corte costituzionale degli avvocati italiani arriva dopo molti anni di attesa.",
+                "Il gatto salta velocemente sopra il cane pigro e si riposa all'ombra dell'albero antico.",
+            ],
+            "pt": [
+                "A decisão do tribunal não foi aceita pela população da região durante a manifestação.",
+                "O governo anunciou novas medidas económicas para a recuperação das famílias portuguesas.",
+            ],
+            "nl": [
+                "De snelle bruine vos springt over de luie hond en rust daarna uit onder de oude boom.",
+                "De rechtbank heeft vandaag uitspraak gedaan in de zaak tegen de voormalige bestuurders.",
+            ],
+            "pl": [
+                "Szybki brązowy lis przeskakuje nad leniwym psem i odpoczywa w cieniu starego drzewa.",
+                "Decyzja sądu została przyjęta przez większość obywateli naszego województwa.",
+            ],
+        }
+        script = {
+            "ru": "Быстрая коричневая лиса перепрыгивает через ленивую собаку и отдыхает в тени.",
+            "el": "Η γρήγορη καφέ αλεπού πηδάει πάνω από τον τεμπέλη σκύλο και ξεκουράζεται.",
+            "ar": "الثعلب البني السريع يقفز فوق الكلب الكسول ثم يستريح في الظل.",
+            "he": "השועל החום המהיר קופץ מעל הכלב העצלן ונח בצל העץ.",
+            "hi": "तेज़ भूरी लोमड़ी आलसी कुत्ते के ऊपर से कूदती है और छाया में आराम करती है।",
+            "ko": "빠른 갈색 여우가 게으른 개를 뛰어넘고 나무 그늘에서 쉬고 있다.",
+            "ja": "素早い茶色の狐はのろまな犬を飛び越えて、木陰でひとやすみします。",
+            "zh": "敏捷的棕色狐狸跳过懒狗然后在树荫下休息。",
+        }
+        scorer = LangId()
+        for lang, sent in script.items():
+            assert scorer._score_one(sent) == lang, (lang, scorer._score_one(sent))
+        total = correct = 0
+        for lang, sents in latin.items():
+            for s in sents:
+                total += 1
+                correct += scorer._score_one(s) == lang
+        assert correct / total >= 0.8, f"{correct}/{total}"
+        assert scorer._score_one("") == "und"
+        assert scorer._score_one("12345 67890 !!!") == "und"
+
     def test_fingerprint_deterministic_and_ws_insensitive(self):
         import hashlib
 

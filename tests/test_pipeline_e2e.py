@@ -44,15 +44,29 @@ class TestGoldenE2E:
         # with shared deterministic functions the match should be exact
         assert ray_keys == ora_keys
 
-    def test_fused_equals_modular_and_backstop(self, ray_session, artifacts, corpus_files, ray_triples):
-        """fused in-batch dedup == modular two-pool path == groupby backstop."""
-        import ray.data as rd
+    def test_all_modes_equal(self, ray_session, artifacts, corpus_files, ray_triples):
+        """distinct (flagship default, = ray_triples) == fused == modular ==
+        groupby backstop — full VALUE equality, not just key sets (scores
+        must be bit-identical since all paths share the same kernels)."""
+        base = (
+            ray_triples.to_pandas()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
 
-        for kwargs in ({"fused": False}, {"fused": True, "global_dedup": True}):
+        for kwargs in (
+            {"mode": "fused"},
+            {"mode": "modular"},
+            {"mode": "distinct", "global_dedup": True},
+        ):
             ds = triples_dataset(read_corpus(corpus_files), artifacts, **kwargs)
-            other = pa.Table.from_pandas(ds.to_pandas())
-            assert triple_key_set(other) == triple_key_set(ray_triples), kwargs
-            assert other.num_rows == ray_triples.num_rows, kwargs
+            other = (
+                ds.to_pandas()
+                .sort_values(["subj", "pred", "obj"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(other, base), kwargs
 
     def test_triples_nonempty_and_schema(self, ray_triples):
         assert ray_triples.num_rows > 0
