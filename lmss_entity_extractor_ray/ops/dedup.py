@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -245,21 +245,29 @@ def _minhash_band_rows(
 
 
 def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
-                            shingle_k: int = 3) -> rd.Dataset:
-    """Distinct candidate pairs (a < b) sharing at least one LSH bucket.
+                            shingle_k: int = 3,
+                            num_partitions: Optional[int] = None) -> rd.Dataset:
+    """Distinct candidate pairs (a < b) sharing at least one LSH bucket,
+    with the number of shared buckets (``n_buckets``).
 
-    Almost every (band, band_hash) bucket is a singleton, and per-group
-    Python (``map_groups``) costs ~0.6 ms/group — so buckets are first
-    COUNTED with a vectorized aggregate (Arrow partials + Sum), the few keys
-    with ≥2 members are broadcast, and only matching band rows (a tiny
-    fraction) reach the pair-emitting groupby.  Buckets are capped at 256
-    members (identical-boilerplate pathologies would emit O(n²) pairs)."""
+    ONE manual hash exchange on the bucket key: band rows carry a mixed
+    64-bit bucket key (band ⊕ band_hash · φ64), are partitioned by
+    ``bkey % P``, and each partition task sorts its rows once and emits
+    per-bucket-run pairs vectorized (triu index templates) — singleton
+    buckets, the overwhelming majority, cost a sorted-run skip instead of a
+    per-group Python call (~0.6 ms each) or a separate counting aggregate.
+    A second, output-scale exchange on the pair key dedups across bands and
+    sums bucket counts.  Buckets are capped at 256 members
+    (identical-boilerplate pathologies would emit O(m²) pairs).  A 64-bit
+    key collision can only ADD a candidate pair (removed by the exact
+    Jaccard verification downstream), never drop one."""
     import functools
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
+    P = num_partitions or _shuffle_partitions()
     # Stateless TASKS, not an actor pool: MinHasher state is ~1 KB of
     # permutation params (rebuilt per task for free), and task pools have no
     # ramp-up lag.  Single-file inputs arrive as ONE block — split first so
@@ -268,64 +276,81 @@ def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         _minhash_band_rows, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
     band_rows = ds.repartition(cpus * 2).map_batches(fn, batch_format="pyarrow")
-    # band rows are narrow (3 ints/row x bands per doc); materialize once so
-    # the count pass and the pair pass don't both re-run the minhash
-    band_rows = band_rows.materialize()
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["band", "band_hash"]).aggregate([("doc_id", "count")])
-        return g.rename_columns(["band", "band_hash", "p_cnt"])
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-    from ray.data.aggregate import Sum
-
-    counts = (
-        band_rows.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .aggregate(Sum("p_cnt", alias_name="n"))
-    )
-    hot: Dict[int, list] = {}
-    for b in counts.iter_batches(batch_format="pyarrow"):
-        mask = pc.and_(pc.greater_equal(b.column("n"), 2), pc.less_equal(b.column("n"), 256))
-        sel = b.filter(mask)
-        for band, h in zip(sel.column("band").to_pylist(), sel.column("band_hash").to_pylist()):
-            hot.setdefault(band, []).append(h)
-    if not hot:
-        return rd.from_arrow(
-            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                      "n_buckets": pa.array([], pa.int64())})
+    def add_part(batch: pa.Table) -> pa.Table:
+        band = np.asarray(batch.column("band").to_pylist(), dtype=np.uint64)
+        h = np.asarray(batch.column("band_hash").to_pylist(), dtype=np.int64).astype(
+            np.uint64
         )
-    # per-band SORTED hash arrays → the semi-join below is a vectorized
-    # np.isin per band instead of a per-row Python set probe
-    hot_ref = ray.put({band: np.sort(np.asarray(hs, dtype=np.int64)) for band, hs in hot.items()})
-
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        hot_keys = ray.get(hot_ref)
-        bands_np = np.asarray(batch.column("band").to_pylist(), dtype=np.int64)
-        hashes_np = np.asarray(batch.column("band_hash").to_pylist(), dtype=np.int64)
-        mask = np.zeros(len(bands_np), dtype=bool)
-        for band, arr in hot_keys.items():
-            sel = bands_np == band
-            if sel.any():
-                mask[sel] = np.isin(hashes_np[sel], arr)
-        return batch.filter(pa.array(mask))
-
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        pairs = list(itertools.combinations(ids, 2))
+        with np.errstate(over="ignore"):
+            bkey = (h * _GOLD) ^ band
         return pa.table(
             {
-                "a": pa.array([p[0] for p in pairs], pa.int64()),
-                "b": pa.array([p[1] for p in pairs], pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "bkey": pa.array(bkey.astype(np.int64), pa.int64()),
+                "part": pa.array((bkey % np.uint64(P)).astype(np.int32), pa.int32()),
             }
         )
 
-    pairs = (
-        band_rows.map_batches(keep_hot, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
+    _EMPTY_AB = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "p_cnt": pa.array([], pa.int64())}
     )
-    # distinct across bands: one (small) shuffle on the pair key
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_buckets"))
+
+    def emit_bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return _EMPTY_AB
+        t = group.sort_by([("bkey", "ascending"), ("doc_id", "ascending")])
+        col = t.column("bkey").combine_chunks()
+        same = np.asarray(pc.equal(col.slice(1, n - 1), col.slice(0, n - 1)))
+        bounds = np.concatenate(([0], np.nonzero(~same)[0] + 1, [n]))
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        tri_cache: dict = {}
+        chunks_i, chunks_j = [], []
+        for k in range(len(bounds) - 1):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            m = hi - lo
+            if m < 2 or m > 256:
+                continue
+            tri = tri_cache.get(m)
+            if tri is None:
+                tri = np.triu_indices(m, 1)
+                tri_cache[m] = tri
+            chunks_i.append(tri[0] + lo)
+            chunks_j.append(tri[1] + lo)
+        if not chunks_i:
+            return _EMPTY_AB
+        ii = np.concatenate(chunks_i)
+        jj = np.concatenate(chunks_j)
+        # per-partition count partial shrinks the second exchange
+        t2 = pa.table(
+            {"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64())}
+        )
+        g = t2.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "p_cnt"])
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a").to_pylist(), dtype=np.uint64)
+        b = np.asarray(batch.column("b").to_pylist(), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((a * _GOLD ^ b) % np.uint64(P)).astype(np.int32)
+        return batch.append_column("part2", pa.array(part, pa.int32()))
+
+    def merge_pairs(group: pa.Table) -> pa.Table:
+        g = group.group_by(["a", "b"]).aggregate([("p_cnt", "sum")])
+        return g.rename_columns(["a", "b", "n_buckets"])
+
+    return (
+        band_rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_bucket_pairs, batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(merge_pairs, batch_format="pyarrow")
+    )
 
 
 def jaccard(s1: Set[int], s2: Set[int]) -> float:

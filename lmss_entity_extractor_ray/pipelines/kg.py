@@ -172,29 +172,20 @@ def triples_dataset_distinct(
             batch_format="pyarrow",
         )
     )
-    # small-side collect: matched DISTINCT texts only (ontology-bounded),
-    # broadcast once via ray.put — not a corpus-sized materialization.
-    # Empty shuffle partitions arrive as schema-less zero-column blocks
-    # (Ray internals) — drop them before concat.
-    from ..stages.kg_stage import MATCH_SCHEMA
-
-    tables = [
-        t for t in (ray.get(r) for r in linked.to_arrow_refs()) if t.num_rows > 0
-    ]
-    matched = (
-        pa.concat_tables(tables).combine_chunks()
-        if tables
-        else MATCH_SCHEMA.empty_table()
-    )
-    matched_ref = ray.put(matched)
+    # small-side broadcast: matched DISTINCT texts only (ontology-bounded).
+    # The driver never concatenates the tables — it only collects the block
+    # REFS; each lookup worker fetches the blocks straight from the object
+    # store and builds its dict once per process (stages/kg_stage._vocab_for),
+    # so the serial driver cost is O(blocks), not O(vocab bytes).
+    matched_refs = list(linked.to_arrow_refs())
     if _phases:
         print(
             f"[kg-phase] distinct-link {time.perf_counter() - _t0:.2f}s "
-            f"(matched vocab {matched.num_rows} texts)"
+            f"({len(matched_refs)} vocab blocks)"
         )
 
     ds = mentions.map_batches(
-        functools.partial(link_lookup_task, matched_ref=matched_ref, cfg=cfg),
+        functools.partial(link_lookup_task, matched_ref=matched_refs, cfg=cfg),
         batch_format="pyarrow",
         batch_size=None,  # whole doc-aligned blocks → exact per-url dedup
         num_cpus=1,

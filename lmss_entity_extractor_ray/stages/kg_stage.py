@@ -181,21 +181,41 @@ _VOCAB_CACHE: Dict[str, dict] = {}
 
 
 def _vocab_for(matched_ref) -> dict:
-    key = matched_ref.hex() if hasattr(matched_ref, "hex") else str(id(matched_ref))
+    """Decode the broadcast matched-vocab blocks once per worker process.
+
+    ``matched_ref`` is either a list of block ObjectRefs (the distinct-link
+    pipeline hands the object-store blocks straight through — the driver
+    never concatenates them) or a single ref / table.  Empty shuffle
+    partitions arrive as schema-less zero-column blocks (Ray internals) —
+    skipped."""
+
+    def _hex(r):
+        return r.hex() if hasattr(r, "hex") else str(id(r))
+
+    refs = matched_ref if isinstance(matched_ref, list) else [matched_ref]
+    key = tuple(_hex(r) for r in refs)
     vocab = _VOCAB_CACHE.get(key)
     if vocab is None:
-        tbl = _resolve(matched_ref)
-        vocab = dict(
-            zip(
-                tbl.column("mtext").to_pylist(),
+        import ray
+
+        vocab = {}
+        tables = ray.get([r for r in refs if hasattr(r, "hex")]) + [
+            r for r in refs if not hasattr(r, "hex")
+        ]
+        for tbl in tables:
+            if tbl.num_rows == 0 or "mtext" not in tbl.column_names:
+                continue
+            vocab.update(
                 zip(
-                    tbl.column("obj").to_pylist(),
-                    tbl.column("label").to_pylist(),
-                    tbl.column("score").to_pylist(),
-                    tbl.column("branch").to_pylist(),
-                ),
+                    tbl.column("mtext").to_pylist(),
+                    zip(
+                        tbl.column("obj").to_pylist(),
+                        tbl.column("label").to_pylist(),
+                        tbl.column("score").to_pylist(),
+                        tbl.column("branch").to_pylist(),
+                    ),
+                )
             )
-        )
         _VOCAB_CACHE.clear()  # one vocab per session is the common case
         _VOCAB_CACHE[key] = vocab
     return vocab
