@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
+
 
 from .combine import combine_partials, sort_table
 
@@ -118,32 +118,70 @@ def pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:
 
 
 def top_customers(orders: rd.Dataset, customer: rd.Dataset, k: int = 10) -> rd.Dataset:
-    """Revenue top-k customers: aggregate → top-k → join only k rows.
+    """Revenue top-k customers: aggregate → per-partition top-k → join k rows.
 
     The customer table grows with the scale factor, so it is NOT a broadcast
-    side.  Instead: (1) groupby(custkey) Sum over orders (map-side partials
-    built into Ray's hash aggregate), (2) sort/limit down to the k winning
-    keys — only k rows ever reach the driver, (3) a semi-join filter over
-    customer pulls exactly the ≤ k matching name rows.  No corpus-sized
-    ``ray.get`` anywhere; both distributed passes stream."""
-    rev = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
+    side.  Instead: (1) in-batch Arrow partials (custkey, partial revenue),
+    (2) ONE manual hash exchange on custkey — each partition finishes its
+    keys' sums and emits only its exact top-k, so the driver merges ≤ P×k
+    candidate rows instead of sorting the revenue table, (3) a semi-join
+    filter over customer pulls exactly the ≤ k matching name rows.  No
+    corpus-sized ``ray.get`` anywhere; both distributed passes stream."""
+    import numpy as np
 
-    def project(batch: pa.Table) -> pa.Table:
+    try:
+        P = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        P = 4
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # map-side combine: one (custkey, partial revenue) row per key per
+        # block leaves the task, not the order rows
+        g = batch.group_by(["o_custkey"]).aggregate([("o_totalprice", "sum")])
+        ck = g.column("o_custkey").cast(pa.int64())
+        part = (
+            np.asarray(ck.to_pylist(), dtype=np.uint64) % np.uint64(P)
+        ).astype(np.int32)
         return pa.table(
             {
-                "c_custkey": batch.column("o_custkey").cast(pa.int64()),
-                "revenue_c2": scaled_int(batch.column("revenue"), 100),
+                "c_custkey": ck,
+                "p_rev": g.column("o_totalprice_sum"),
+                "part": pa.array(part, pa.int32()),
             }
         )
 
-    top_tbl = pa.concat_tables(
-        ray.get(
-            rev.map_batches(project, batch_format="pyarrow")
-            .sort(["revenue_c2", "c_custkey"], descending=[True, False])
-            .limit(k)
+    def local_topk(group: pa.Table) -> pa.Table:
+        # a custkey's partials all land in this partition, so the sum is
+        # final here and the partition's top-k bounds the global top-k
+        g = group.group_by(["c_custkey"]).aggregate([("p_rev", "sum")])
+        t = pa.table(
+            {
+                "c_custkey": g.column("c_custkey"),
+                "revenue_c2": scaled_int(g.column("p_rev_sum"), 100),
+            }
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("revenue_c2", "descending"), ("c_custkey", "ascending")]
+        )
+        return t.take(order[:k])
+
+    # ONE hash exchange (partials → per-partition exact top-k); the driver
+    # merges ≤ P×k candidate rows — never a full sort, never the rev table
+    cand_tables = [
+        t
+        for t in ray.get(
+            orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(local_topk, batch_format="pyarrow")
             .to_arrow_refs()
         )
-    )  # exactly k rows
+        if t.num_rows > 0 and "c_custkey" in t.column_names
+    ]
+    merged = pa.concat_tables(cand_tables).combine_chunks()
+    order = pc.sort_indices(
+        merged, sort_keys=[("revenue_c2", "descending"), ("c_custkey", "ascending")]
+    )
+    top_tbl = merged.take(order[:k])  # exactly k rows
     top_keys = pa.array(top_tbl.column("c_custkey").to_pylist(), pa.int64())
 
     def semi(batch: pa.Table) -> pa.Table:
