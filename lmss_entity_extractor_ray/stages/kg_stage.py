@@ -124,6 +124,7 @@ MATCH_SCHEMA = pa.schema(
         ("label", pa.string()),
         ("score", pa.float32()),
         ("branch", pa.string()),
+        ("pred", pa.string()),
     ]
 )
 
@@ -153,17 +154,19 @@ def link_distinct_task(
     art = _resolve(artifacts_ref)
     linker = _linker_for(art, cfg)
     texts = pc.unique(group.column("mtext")).to_pylist()
-    m_out, o_out, l_out, s_out, b_out = [], [], [], [], []
+    m_out, o_out, l_out, s_out, b_out, p_out = [], [], [], [], [], []
     for t in texts:
         match = linker.match_fast(t, embed_text(t))
         if match is None:
             continue
         iri, label, score = match
+        branch = linker.branch(iri)
         m_out.append(t)
         o_out.append(iri)
         l_out.append(label)
         s_out.append(score)
-        b_out.append(linker.branch(iri))
+        b_out.append(branch)
+        p_out.append(make_pred(branch))
     return pa.table(
         {
             "mtext": pa.array(m_out, pa.string()),
@@ -171,23 +174,27 @@ def link_distinct_task(
             "label": pa.array(l_out, pa.string()),
             "score": pa.array(s_out, pa.float32()),
             "branch": pa.array(b_out, pa.string()),
+            "pred": pa.array(p_out, pa.string()),
         }
     )
 
 
-# per-process decoded broadcast vocab: {mtext: (obj, label, score, branch)},
-# keyed by the ObjectRef so a new vocab (new corpus/ontology) re-decodes
-_VOCAB_CACHE: Dict[str, dict] = {}
+# per-process decoded broadcast vocab: ONE combined Arrow table (zero Python
+# objects), keyed by the ObjectRefs so a new vocab (new corpus) re-decodes
+_VOCAB_CACHE: Dict[tuple, pa.Table] = {}
 
 
-def _vocab_for(matched_ref) -> dict:
-    """Decode the broadcast matched-vocab blocks once per worker process.
+def _vocab_for(matched_ref) -> pa.Table:
+    """Assemble the broadcast matched-vocab blocks into one combined Arrow
+    table, once per worker process.
 
     ``matched_ref`` is either a list of block ObjectRefs (the distinct-link
     pipeline hands the object-store blocks straight through — the driver
     never concatenates them) or a single ref / table.  Empty shuffle
     partitions arrive as schema-less zero-column blocks (Ray internals) —
-    skipped."""
+    skipped.  Kept as Arrow (not a Python dict): decoding ~10⁵ entries into
+    Python objects cost 4-7 s per process under 16-way memory contention —
+    per-process duplicated cold work that measurably capped scaling."""
 
     def _hex(r):
         return r.hex() if hasattr(r, "hex") else str(id(r))
@@ -198,24 +205,17 @@ def _vocab_for(matched_ref) -> dict:
     if vocab is None:
         import ray
 
-        vocab = {}
         tables = ray.get([r for r in refs if hasattr(r, "hex")]) + [
             r for r in refs if not hasattr(r, "hex")
         ]
-        for tbl in tables:
-            if tbl.num_rows == 0 or "mtext" not in tbl.column_names:
-                continue
-            vocab.update(
-                zip(
-                    tbl.column("mtext").to_pylist(),
-                    zip(
-                        tbl.column("obj").to_pylist(),
-                        tbl.column("label").to_pylist(),
-                        tbl.column("score").to_pylist(),
-                        tbl.column("branch").to_pylist(),
-                    ),
-                )
-            )
+        tables = [
+            t for t in tables if t.num_rows > 0 and "mtext" in t.column_names
+        ]
+        vocab = (
+            pa.concat_tables(tables).combine_chunks()
+            if tables
+            else MATCH_SCHEMA.empty_table()
+        )
         _VOCAB_CACHE.clear()  # one vocab per session is the common case
         _VOCAB_CACHE[key] = vocab
     return vocab
@@ -226,45 +226,52 @@ def link_lookup_task(
 ) -> pa.Table:
     """Second pass of the distinct-link pipeline: mention rows → triples via
     a broadcast {distinct text → match} lookup.  Replicates the fused
-    stage's post_process + per-(url, pred, obj) keep-best exactly (mention
-    rows arrive in the fused path's doc order)."""
-    vocab = _vocab_for(matched_ref)
-    urls = batch.column("url").to_pylist()
-    mtexts = batch.column("mtext").to_pylist()
-    mtypes = batch.column("mtype").to_pylist()
-    starts = batch.column("start").to_pylist()
-    ends = batch.column("end").to_pylist()
+    stage's post_process + per-(url, pred, obj) keep-best exactly.
 
-    best: Dict[Tuple[str, str, str], dict] = {}
-    for url, m_text, m_type, start, end in zip(urls, mtexts, mtypes, starts, ends):
-        hit = vocab.get(m_text)
-        if hit is None:
-            continue
-        iri, label, score, branch = hit
-        # post_process (linking/core.py:286-295) inlined: the Location
-        # early-return changes nothing (the fallthrough also passes), so
-        # only the VERB rule filters
-        if m_type == "VERB" and score < 0.7:
-            continue
-        key = (url, make_pred(branch), iri)
-        cur = best.get(key)
-        if (
-            cur is None
-            or score > cur["score"]
-            or (score == cur["score"] and start < cur["start"])
-        ):
-            best[key] = {
-                "subj": key[0],
-                "pred": key[1],
-                "obj": key[2],
-                "branch": branch,
-                "label": label,
-                "score": score,
-                "start": start,
-                "end": end,
-                "text": m_text,
-            }
-    return triples_to_table(list(best.values()))
+    Fully vectorized — Arrow C++ hash lookup (``index_in``) + ``take`` + the
+    sort/first-of-run keep-best; the earlier per-row Python loop cost
+    ~15-19 µs/row and tripled under 16-way memory contention, flattening the
+    scaling curve."""
+    vocab = _vocab_for(matched_ref)
+    if batch.num_rows == 0 or vocab.num_rows == 0:
+        return TRIPLE_SCHEMA.empty_table()
+
+    idx = pc.index_in(batch.column("mtext"), value_set=vocab.column("mtext"))
+    hit = pc.is_valid(idx)
+    b = batch.filter(hit)
+    ridx = pc.filter(idx, hit)
+    if isinstance(ridx, pa.ChunkedArray):
+        ridx = ridx.combine_chunks()
+    score = vocab.column("score").take(ridx)
+    # post_process (linking/core.py:286-295) inlined: the Location
+    # early-return changes nothing (the fallthrough also passes), so only
+    # the VERB rule filters
+    keep = pc.invert(
+        pc.and_(pc.equal(b.column("mtype"), "VERB"), pc.less(score, 0.7))
+    )
+    b = b.filter(keep)
+    ridx = pc.filter(ridx, keep)
+    if isinstance(ridx, pa.ChunkedArray):
+        ridx = ridx.combine_chunks()
+
+    t = pa.table(
+        {
+            "subj": b.column("url"),
+            "pred": vocab.column("pred").take(ridx),
+            "obj": vocab.column("obj").take(ridx),
+            "branch": vocab.column("branch").take(ridx),
+            "label": vocab.column("label").take(ridx),
+            "score": vocab.column("score").take(ridx),
+            "start": b.column("start"),
+            "end": b.column("end"),
+            "text": b.column("mtext"),
+        }
+    ).cast(TRIPLE_SCHEMA)
+    # exact per-(subj, pred, obj) keep-best (score desc, start asc) — the
+    # same vectorized first-of-run pass the dedup backstop uses
+    from ..pipelines.kg import _block_keep_best
+
+    return _block_keep_best(t)
 
 
 def kg_stage_task(batch: pa.Table, artifacts_ref=None, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:

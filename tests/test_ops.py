@@ -262,6 +262,24 @@ class TestDedup:
         assert {(100, 101), (100, 102), (101, 102)} <= got_pairs
         assert got_pairs == truth
 
+    def test_minhash_candidate_pairs_bucket_counts(self, ray_session):
+        """Identical texts share every band → candidate pair with
+        n_buckets == bands; disjoint texts share none → no pair."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import minhash_candidate_pairs
+
+        dup = " ".join(f"tok{j}" for j in range(40))
+        other = " ".join(f"zzz{j}" for j in range(40))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([dup, dup, other], pa.string()),
+            }
+        )
+        df = minhash_candidate_pairs(rd.from_arrow(tbl), bands=16).to_pandas()
+        assert sorted(zip(df["a"], df["b"], df["n_buckets"])) == [(1, 2, 16)]
+
     def test_minhash_empty_doc_pairs(self, ray_session):
         """Empty docs share the sentinel signature → mutual candidates with
         J(∅,∅)=1.0; the distributed verify must keep them."""
