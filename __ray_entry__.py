@@ -321,6 +321,14 @@ def _q_events_hourly(sf_dir: str):
     return tumbling_window_agg(_read(sf_dir, "events", ["ts", "event_type", "value"]))
 
 
+def _q_events_sliding(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.windows import sliding_window_agg
+
+    return sliding_window_agg(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]), size_hops=3
+    )
+
+
 def _q_pricing_summary(sf_dir: str):
     from lmss_entity_extractor_ray.ops.relational import pricing_summary
 
@@ -391,8 +399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "knn_top1": _q_knn_top1,
-        # event-time windowed aggregate
+        # event-time windowed aggregates
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
         # sampling
         "hash_sample": _q_hash_sample,
         "reservoir_sample": _q_reservoir_sample,
@@ -540,6 +549,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_c2
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_sliding": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hop, event_type,
+                       count(*) AS n, sum(value) AS s
+                FROM events GROUP BY 1, 2),
+            w AS (
+                SELECT hop - k * INTERVAL 1 HOUR AS ws, event_type, n, s
+                FROM h, generate_series(0, 2) AS t(k))
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(floor(SUM(s) * 100 + 0.5) AS BIGINT) AS sum_value_c2
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "hash_sample": """
             SELECT doc_id, lang FROM documents

@@ -267,9 +267,17 @@ def run_scaling(n_docs: int = SCALING_DOCS, reps: int = 3) -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     runs: dict = {c: [] for c in SCALING_CPU_PAIR}
-    for _ in range(reps):
+    for rep in range(reps):
         for cpus in SCALING_CPU_PAIR:
-            runs[cpus].append(run_child(cpus))
+            # fixed cooldown before every child: sustained back-to-back load
+            # drops turbo clocks for LATER runs (measured: the 4-CPU level
+            # slowed 264 s → 322 s across one protocol), which biases the
+            # levels unequally; an idle window before each child starts every
+            # run from a comparable thermal state
+            time.sleep(45)
+            r = run_child(cpus)
+            runs[cpus].append(r)
+            print(f"[scaling rep {rep}] {json.dumps(r)}", file=sys.stderr, flush=True)
 
     def median_run(rs):
         rs = sorted(rs, key=lambda r: r["docs_per_sec"])
@@ -305,8 +313,9 @@ def _update_baseline_md(lo: dict, hi: dict, eff: float) -> None:
         f"| A | {lo['num_cpus']} | {lo['docs']} | {lo['wall_s']} | {lo['docs_per_sec']} | {lo['triples']} | 1.00 (base) |\n"
         f"| B | {hi['num_cpus']} | {hi['docs']} | {hi['wall_s']} | {hi['docs_per_sec']} | {hi['triples']} | {eff:.3f} (gate ≥ 0.8) |\n"
         "Protocol: each row is the MEDIAN of 3 fresh-process runs, interleaved\n"
-        "A/B/A/B/… (single pairs swing 0.79–1.10 on this host); warm-up pass\n"
-        "excluded.  The default bench mode separately reports best-of-2 per query.\n"
+        "A/B/A/B/… with a 45 s idle cooldown before every run (single pairs\n"
+        "swing 0.69–1.10 on this host); warm-up pass excluded.  The default\n"
+        "bench mode separately reports best-of-2 per query.\n"
     )
     # single-newline join keeps the protocol note inside the regex's replace
     # region so reruns don't accumulate stale copies

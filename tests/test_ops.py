@@ -537,6 +537,39 @@ class TestWindows:
             merged["sum_value_c2"] == np.floor(merged["sum"] * 100 + 0.5).astype(np.int64)
         ).all()
 
+    def test_sliding_window_vs_pandas(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.windows import sliding_window_agg
+
+        tbl = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+        got = sliding_window_agg(rd.from_arrow(tbl), size_hops=3).to_pandas()
+        pdf = tbl.to_pandas()
+        pdf["hop"] = pdf["ts"].dt.floor("h")
+        frames = []
+        for k in range(3):
+            f = pdf.copy()
+            f["window_start"] = (f["hop"] - pd.Timedelta(hours=k)).dt.strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            frames.append(f)
+        exp = (
+            pd.concat(frames)
+            .groupby(["window_start", "event_type"])["value"]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        merged = got.merge(exp, on=["window_start", "event_type"], how="outer")
+        assert len(merged) == len(got) == len(exp)
+        assert (merged["n"] == merged["count"]).all()
+        assert (
+            merged["sum_value_c2"] == np.floor(merged["sum"] * 100 + 0.5).astype(np.int64)
+        ).all()
+        # every event lands in exactly size_hops windows
+        assert got["n"].sum() == 3 * len(pdf)
+
 
 # ---------------------------------------------------------------------------
 # multimodal plumbing
