@@ -329,6 +329,25 @@ def _q_events_sliding(sf_dir: str):
     )
 
 
+def _q_session_windows(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.temporal import session_window_stats
+
+    return session_window_stats(
+        _read(sf_dir, "events", ["ts", "user_id", "event_id", "value"]),
+        gap_minutes=30,
+    )
+
+
+def _q_asof_lag(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.temporal import asof_lag
+
+    return asof_lag(
+        _read(sf_dir, "events", ["ts", "user_id", "event_id", "event_type"]),
+        left_type="click",
+        right_type="purchase",
+    )
+
+
 def _q_pricing_summary(sf_dir: str):
     from lmss_entity_extractor_ray.ops.relational import pricing_summary
 
@@ -399,9 +418,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "knn_top1": _q_knn_top1,
-        # event-time windowed aggregates
+        # event-time windowed aggregates + temporal joins
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
+        "session_windows": _q_session_windows,
+        "asof_lag": _q_asof_lag,
         # sampling
         "hash_sample": _q_hash_sample,
         "reservoir_sample": _q_reservoir_sample,
@@ -563,6 +584,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS n,
                    CAST(floor(SUM(s) * 100 + 0.5) AS BIGINT) AS sum_value_c2
             FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "session_windows": """
+            WITH x AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            y AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x)
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+                   count(*) AS n_events,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_c2
+            FROM y GROUP BY user_id, sid
+            ORDER BY user_id, session_start_us
+        """,
+        "asof_lag": """
+            SELECT a.event_id,
+                   CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS asof_lag_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') a
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
+            ORDER BY a.event_id
         """,
         "hash_sample": """
             SELECT doc_id, lang FROM documents

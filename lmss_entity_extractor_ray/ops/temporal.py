@@ -1,0 +1,177 @@
+"""Event-time operators Ray Data has no primitive for: session windows and
+as-of joins (SURVEY.md §2.9 family; the reference has no streaming semantics,
+these are the bounded-batch equivalents a training-data pipeline needs).
+
+Both ride ONE manual hash exchange on the entity key (`user_id`): rows are
+partitioned by ``hash(key) % P`` so each entity's events co-locate, and every
+partition task sorts once and runs vectorized numpy passes — no per-row
+Python, no per-entity ``map_groups`` call (~0.6 ms/group would dominate at
+10⁵+ entities).  Timestamps are handled as int64 MICROSECONDS end to end, so
+the DuckDB oracles (``epoch_us``) compare exactly — no float time math.
+
+Partitioning assumption: one partition's event rows fit a worker.  Scale P
+with the corpus; entity keys are near-uniform (user ids), so no salting is
+needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _partitions() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+def _with_part(ds: rd.Dataset, key: str, P: int) -> rd.Dataset:
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column(key).to_pylist(), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)).astype(
+                np.int32
+            )
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# session windows
+# ---------------------------------------------------------------------------
+
+def session_window_stats(
+    events: rd.Dataset,
+    gap_minutes: int = 30,
+    key: str = "user_id",
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Per-entity session windows: a session is a maximal run of an entity's
+    events where consecutive gaps are ≤ ``gap_minutes`` (a STRICTLY larger
+    gap starts a new session).  Output one row per session:
+    ``(user_id, session_start_us, n_events, sum_value_c2)``.
+
+    Per-partition pass is fully vectorized: one lexsort by (key, ts,
+    event_id), session boundaries from an int64-µs diff compare, per-session
+    aggregates via ``np.add.reduceat`` over the boundary index vector."""
+    P = num_partitions or _partitions()
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_start_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value_c2": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        uid = np.asarray(group.column(key).to_pylist(), dtype=np.int64)
+        ts = np.asarray(
+            group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64
+        )
+        eid = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
+        val = np.asarray(group.column("value").to_pylist(), dtype=np.float64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        new_s = np.ones(n, dtype=bool)
+        new_s[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        bounds = np.nonzero(new_s)[0]
+        n_events = np.diff(np.append(bounds, n))
+        sum_value = np.add.reduceat(val, bounds)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[bounds], pa.int64()),
+                "session_start_us": pa.array(ts[bounds], pa.int64()),
+                "n_events": pa.array(n_events.astype(np.int64), pa.int64()),
+                "sum_value_c2": pa.array(
+                    np.floor(sum_value * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cols = events.select_columns([key, "ts", "event_id", "value"])
+    return (
+        _with_part(cols, key, P)
+        .groupby("part")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def asof_lag(
+    events: rd.Dataset,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    key: str = "user_id",
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Per-entity as-of join: for every ``left_type`` event, the time since
+    the most recent ``right_type`` event of the same entity at or before it
+    (inclusive — DuckDB ``ASOF JOIN ... ON a.ts >= b.ts`` semantics).
+    Left events with no prior right event are dropped (inner as-of).
+    Output: ``(event_id, asof_lag_us)`` — exact int64 microseconds.
+
+    Vectorized last-seen scan: sort by (key, ts, right-before-left at equal
+    ts), ``np.maximum.accumulate`` over right-row indices, validity = the
+    carried index belongs to the same entity (rows are entity-sorted, so a
+    carried index from the previous entity has a different key value)."""
+    P = num_partitions or _partitions()
+
+    def asof(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "asof_lag_us": pa.array([], pa.int64()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = np.asarray(group.column(key).to_pylist(), dtype=np.int64)
+        ts = np.asarray(
+            group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64
+        )
+        eid = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
+        etype = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        is_r = etype == right_type
+        is_l = etype == left_type
+        # right rows sort BEFORE left rows at equal (key, ts) → inclusive >=
+        order = np.lexsort((~is_r, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        is_r, is_l = is_r[order], is_l[order]
+        idx = np.arange(n)
+        last_r = np.maximum.accumulate(np.where(is_r, idx, -1))
+        cand = is_l & (last_r >= 0)
+        ok = np.zeros(n, dtype=bool)
+        ok[cand] = uid[last_r[cand]] == uid[cand]
+        if not ok.any():
+            return empty
+        return pa.table(
+            {
+                "event_id": pa.array(eid[ok], pa.int64()),
+                "asof_lag_us": pa.array(ts[ok] - ts[last_r[ok]], pa.int64()),
+            }
+        )
+
+    cols = events.select_columns([key, "ts", "event_id", "event_type"])
+    return (
+        _with_part(cols, key, P)
+        .groupby("part")
+        .map_groups(asof, batch_format="pyarrow")
+    )

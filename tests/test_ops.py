@@ -572,6 +572,120 @@ class TestWindows:
 
 
 # ---------------------------------------------------------------------------
+# temporal ops: session windows + as-of join
+# ---------------------------------------------------------------------------
+
+class TestTemporal:
+    def _events(self):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["ts", "user_id", "event_id", "event_type", "value"],
+        )
+
+    def test_session_windows_vs_pandas(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.temporal import session_window_stats
+
+        tbl = self._events()
+        got = (
+            session_window_stats(rd.from_arrow(tbl), gap_minutes=30)
+            .to_pandas()
+            .sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True)
+        )
+        df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        gap = 30 * 60 * 1_000_000
+        new_s = (df["user_id"].ne(df["user_id"].shift())) | (
+            df["ts_us"].diff() > gap
+        )
+        df["sid"] = new_s.cumsum()
+        exp = (
+            df.groupby(["user_id", "sid"])
+            .agg(
+                session_start_us=("ts_us", "min"),
+                n_events=("event_id", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+            .sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+        assert (
+            got["session_start_us"].to_numpy() == exp["session_start_us"].to_numpy()
+        ).all()
+        assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+        assert (
+            got["sum_value_c2"].to_numpy()
+            == np.floor(exp["sum_value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        ).all()
+        # every event lands in exactly one session
+        assert got["n_events"].sum() == tbl.num_rows
+
+    def test_asof_lag_vs_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.temporal import asof_lag
+
+        tbl = self._events()
+        got = (
+            asof_lag(rd.from_arrow(tbl), left_type="click", right_type="purchase")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        df = tbl.to_pandas()
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        purch: dict = {}
+        for _, r in df[df["event_type"] == "purchase"].iterrows():
+            purch.setdefault(int(r["user_id"]), []).append(int(r["ts_us"]))
+        exp_rows = []
+        for _, r in df[df["event_type"] == "click"].iterrows():
+            cands = [
+                t for t in purch.get(int(r["user_id"]), []) if t <= int(r["ts_us"])
+            ]
+            if cands:
+                exp_rows.append((int(r["event_id"]), int(r["ts_us"]) - max(cands)))
+        exp_rows.sort()
+        assert list(zip(got["event_id"], got["asof_lag_us"])) == exp_rows
+
+    def test_asof_inclusive_tie_and_user_isolation(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.temporal import asof_lag
+
+        ts = pa.array([1_000_000, 1_000_000, 2_000_000, 500_000], pa.timestamp("us"))
+        tbl = pa.table(
+            {
+                "ts": ts,
+                "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+                "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "event_type": pa.array(
+                    ["click", "purchase", "click", "purchase"], pa.string()
+                ),
+            }
+        )
+        got = (
+            asof_lag(rd.from_arrow(tbl))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # user 1: purchase at the SAME instant counts (inclusive >=);
+        # user 2: a purchase from another user never leaks across entities
+        assert list(zip(got["event_id"], got["asof_lag_us"])) == [
+            (10, 0),
+            (12, 1_500_000),
+        ]
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 
