@@ -348,6 +348,15 @@ def _q_asof_lag(sf_dir: str):
     )
 
 
+def _q_orders_range_join(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.temporal import range_join_within
+
+    return range_join_within(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]),
+        window_us=7 * 86_400 * 1_000_000,
+    )
+
+
 def _q_pricing_summary(sf_dir: str):
     from lmss_entity_extractor_ray.ops.relational import pricing_summary
 
@@ -423,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "session_windows": _q_session_windows,
         "asof_lag": _q_asof_lag,
+        "orders_range_join": _q_orders_range_join,
         # sampling
         "hash_sample": _q_hash_sample,
         "reservoir_sample": _q_reservoir_sample,
@@ -611,6 +621,18 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
             ORDER BY a.event_id
+        """,
+        "orders_range_join": """
+            SELECT least(a.o_orderkey, b.o_orderkey) AS a,
+                   greatest(a.o_orderkey, b.o_orderkey) AS b,
+                   CAST(abs(epoch_us(b.o_orderdate) - epoch_us(a.o_orderdate))
+                        AS BIGINT) AS diff_us
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+             AND abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate))
+                 <= 604800000000
+            ORDER BY 1, 2
         """,
         "hash_sample": """
             SELECT doc_id, lang FROM documents

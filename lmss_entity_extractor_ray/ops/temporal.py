@@ -175,3 +175,84 @@ def asof_lag(
         .groupby("part")
         .map_groups(asof, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join
+# ---------------------------------------------------------------------------
+
+def range_join_within(
+    ds: rd.Dataset,
+    window_us: int,
+    key: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    id_col: str = "o_orderkey",
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Per-entity range self-join: every ordered pair of an entity's rows
+    whose timestamps lie within ``window_us`` of each other
+    (``0 < ts_b - ts_a ≤ window_us``; equal timestamps pair by id order,
+    ``id_a < id_b`` at ``diff 0``).  Output: ``(a, b, diff_us)``.
+
+    One hash exchange on the entity key, then per partition: lexsort by
+    (key, ts, id) and a vectorized two-pointer sweep — ``searchsorted`` of
+    ``ts + window`` against the sorted ts array gives each row's pair-range
+    end, entity boundaries clamp it, and the pair index vectors come from a
+    ``repeat``/``arange`` offset pattern (no Python loop over rows).  Output
+    volume is bounded by true pair density, never all-pairs."""
+    P = num_partitions or _partitions()
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "diff_us": pa.array([], pa.int64()),
+            }
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        uid = np.asarray(group.column(key).to_pylist(), dtype=np.int64)
+        ts = np.asarray(
+            group.column(ts_col).cast(pa.int64()).to_pylist(), dtype=np.int64
+        )
+        rid = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        order = np.lexsort((rid, ts, uid))
+        uid, ts, rid = uid[order], ts[order], rid[order]
+        # ts is sorted only WITHIN an entity's run, so the window end is a
+        # per-segment searchsorted (O(entities) loop, vectorized inner)
+        change = np.nonzero(uid[1:] != uid[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            hi[s:e] = s + np.searchsorted(
+                ts[s:e], ts[s:e] + window_us, side="right"
+            )
+        lo = np.arange(n) + 1
+        cnt = np.maximum(hi - lo, 0)
+        if cnt.sum() == 0:
+            return empty
+        ii = np.repeat(np.arange(n), cnt)
+        # offsets 0..cnt[i]-1 within each i's range → flat j indices
+        csum = np.concatenate(([0], np.cumsum(cnt)))
+        jj = (np.arange(csum[-1]) - csum[ii]) + lo[ii]
+        a, b = rid[ii], rid[jj]
+        swap = a > b  # diff==0 ties: emit with a < b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table(
+            {
+                "a": pa.array(a2, pa.int64()),
+                "b": pa.array(b2, pa.int64()),
+                "diff_us": pa.array(ts[jj] - ts[ii], pa.int64()),
+            }
+        )
+
+    cols = ds.select_columns([key, ts_col, id_col])
+    return (
+        _with_part(cols, key, P)
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+    )

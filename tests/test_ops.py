@@ -655,6 +655,38 @@ class TestTemporal:
         exp_rows.sort()
         assert list(zip(got["event_id"], got["asof_lag_us"])) == exp_rows
 
+    def test_range_join_vs_bruteforce(self, ray_session):
+        import itertools
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.temporal import range_join_within
+
+        tbl = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_orderkey"],
+        )
+        W = 7 * 86_400 * 1_000_000
+        got = (
+            range_join_within(rd.from_arrow(tbl), window_us=W)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        df = tbl.to_pandas()
+        df["ts_us"] = df["o_orderdate"].astype("datetime64[us]").astype("int64")
+        exp = []
+        for _, grp in df.groupby("o_custkey"):
+            recs = list(zip(grp["o_orderkey"], grp["ts_us"]))
+            for (k1, t1), (k2, t2) in itertools.combinations(recs, 2):
+                if abs(t1 - t2) <= W:
+                    a, b = sorted((int(k1), int(k2)))
+                    exp.append((a, b, abs(int(t1) - int(t2))))
+        exp.sort()
+        assert list(zip(got["a"], got["b"], got["diff_us"])) == exp
+        assert len(exp) > 0  # the fixture actually exercises the op
+
     def test_asof_inclusive_tie_and_user_isolation(self, ray_session):
         import ray.data as rd
 
