@@ -35,6 +35,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
+from .arrow_np import col_np
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -215,7 +217,7 @@ class MinHasher:
         return np.minimum.reduceat(sig_all, starts, axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        ids = col_np(batch, "doc_id")
         sigs = self._signatures(batch.column("text").to_pylist())
         n, r, bands = len(ids), self.rows_per_band, self.bands
         # polynomial band hash over each band's r contiguous rows in the
@@ -280,10 +282,8 @@ def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
     _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        band = np.asarray(batch.column("band").to_pylist(), dtype=np.uint64)
-        h = np.asarray(batch.column("band_hash").to_pylist(), dtype=np.int64).astype(
-            np.uint64
-        )
+        band = col_np(batch, "band", np.uint64)
+        h = col_np(batch, "band_hash", np.uint64)
         with np.errstate(over="ignore"):
             bkey = (h * _GOLD) ^ band
         return pa.table(
@@ -307,7 +307,7 @@ def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         col = t.column("bkey").combine_chunks()
         same = np.asarray(pc.equal(col.slice(1, n - 1), col.slice(0, n - 1)))
         bounds = np.concatenate(([0], np.nonzero(~same)[0] + 1, [n]))
-        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        ids = col_np(t, "doc_id")
         tri_cache: dict = {}
         chunks_i, chunks_j = [], []
         for k in range(len(bounds) - 1):
@@ -333,8 +333,8 @@ def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         return g.rename_columns(["a", "b", "p_cnt"])
 
     def add_pair_part(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch.column("a").to_pylist(), dtype=np.uint64)
-        b = np.asarray(batch.column("b").to_pylist(), dtype=np.uint64)
+        a = col_np(batch, "a", np.uint64)
+        b = col_np(batch, "b", np.uint64)
         with np.errstate(over="ignore"):
             part = ((a * _GOLD ^ b) % np.uint64(P)).astype(np.int32)
         return batch.append_column("part2", pa.array(part, pa.int32()))
@@ -412,8 +412,8 @@ def _pair_counts(sh: rd.Dataset, num_partitions: int) -> rd.Dataset:
     def add_part(batch: pa.Table) -> pa.Table:
         col = batch.column("shingle")
         if pa.types.is_integer(col.type):
-            v = np.asarray(col.to_pylist(), dtype=np.int64)
-            part = (v.astype(np.uint64) % np.uint64(P)).astype(np.int32)
+            v = col_np(batch, "shingle", np.uint64)
+            part = (v % np.uint64(P)).astype(np.int32)
         else:
             part = np.fromiter(
                 (zlib.crc32(s.encode("utf-8")) % P for s in col.to_pylist()),
@@ -435,8 +435,8 @@ def _pair_counts(sh: rd.Dataset, num_partitions: int) -> rd.Dataset:
         col = t.column("shingle").combine_chunks()
         same = np.asarray(pc.equal(col.slice(1, n - 1), col.slice(0, n - 1)))
         bounds = np.concatenate(([0], np.nonzero(~same)[0] + 1, [n]))
-        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
-        ns = np.asarray(t.column("n_sh").to_pylist(), dtype=np.int64)
+        ids = col_np(t, "doc_id")
+        ns = col_np(t, "n_sh")
         # vectorized pair emission: per shingle run of length m, the m(m-1)/2
         # index pairs come from a cached triu template (runs are sorted by
         # doc_id, so i<j in position ⇒ a<b in doc id)
@@ -470,9 +470,10 @@ def _pair_counts(sh: rd.Dataset, num_partitions: int) -> rd.Dataset:
     # aggregate costs ~10x more than partition-wise Arrow group_by on
     # millions of pair partials
     def add_pair_part(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch.column("a").to_pylist(), dtype=np.uint64)
-        b = np.asarray(batch.column("b").to_pylist(), dtype=np.uint64)
-        part = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(P)).astype(np.int32)
+        a = col_np(batch, "a", np.uint64)
+        b = col_np(batch, "b", np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(P)).astype(np.int32)
         return batch.append_column("part2", pa.array(part, pa.int32()))
 
     def merge_pairs(group: pa.Table) -> pa.Table:
@@ -535,10 +536,10 @@ def ngram_jaccard_pairs(
     counts = _pair_counts(sh, P)
 
     def finish(batch: pa.Table) -> pa.Table:
-        inter = np.asarray(batch.column("inter").to_pylist(), dtype=np.float64)
+        inter = col_np(batch, "inter", np.float64)
         union = (
-            np.asarray(batch.column("n_a").to_pylist(), dtype=np.float64)
-            + np.asarray(batch.column("n_b").to_pylist(), dtype=np.float64)
+            col_np(batch, "n_a", np.float64)
+            + col_np(batch, "n_b", np.float64)
             - inter
         )
         j = inter / union
@@ -644,9 +645,9 @@ def near_dup_pairs_minhash(
                                           batch.column("b").to_pylist())]
         )
         batch = batch.filter(is_cand)
-        inter = np.asarray(batch.column("inter").to_pylist(), dtype=np.float64)
-        n_a = np.asarray(batch.column("n_a").to_pylist(), dtype=np.float64)
-        n_b = np.asarray(batch.column("n_b").to_pylist(), dtype=np.float64)
+        inter = col_np(batch, "inter", np.float64)
+        n_a = col_np(batch, "n_a", np.float64)
+        n_b = col_np(batch, "n_b", np.float64)
         union = n_a + n_b - inter
         both_empty = (n_a == 0) & (n_b == 0)
         with np.errstate(divide="ignore", invalid="ignore"):

@@ -140,7 +140,8 @@ def top_customers(orders: rd.Dataset, customer: rd.Dataset, k: int = 10) -> rd.D
         g = batch.group_by(["o_custkey"]).aggregate([("o_totalprice", "sum")])
         ck = g.column("o_custkey").cast(pa.int64())
         part = (
-            np.asarray(ck.to_pylist(), dtype=np.uint64) % np.uint64(P)
+            ck.combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
+            % np.uint64(P)
         ).astype(np.int32)
         return pa.table(
             {

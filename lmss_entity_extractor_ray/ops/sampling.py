@@ -30,6 +30,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from .arrow_np import col_np
+
 _KNUTH = 2654435761
 _MOD = 1 << 32
 
@@ -48,7 +50,7 @@ def hash_sample(ds: rd.Dataset, key: str, fraction: float, salt: int = 0) -> rd.
     threshold = int(fraction * _MOD)
 
     def keep(batch: pa.Table) -> pa.Table:
-        k = np.asarray(batch.column(key).to_pylist(), dtype=np.uint64)
+        k = col_np(batch, key, np.uint64)
         h = _tag(k, salt)
         return batch.filter(pa.array(h < threshold))
 
@@ -70,12 +72,12 @@ def reservoir_sample(ds: rd.Dataset, k: int, seed: int = 42, key: str = "doc_id"
     LIMIT k``."""
 
     def block_bottomk(batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch.column(key).to_pylist(), dtype=np.uint64)
+        keys = col_np(batch, key, np.uint64)
         tags = _tag(keys, seed)
         order = np.lexsort((keys, tags))[: min(k, batch.num_rows)]
         sub = batch.take(pa.array(np.sort(order), pa.int64()))
         return sub.append_column(
-            "_tag", pa.array(_tag(np.asarray(sub.column(key).to_pylist(), dtype=np.uint64), seed).astype(np.int64), pa.int64())
+            "_tag", pa.array(_tag(col_np(sub, key, np.uint64), seed).astype(np.int64), pa.int64())
         )
 
     parts = list(
@@ -86,7 +88,7 @@ def reservoir_sample(ds: rd.Dataset, k: int, seed: int = 42, key: str = "doc_id"
     if not parts:
         return pa.table({})
     merged = pa.concat_tables(parts)
-    tags = np.asarray(merged.column("_tag").to_pylist(), dtype=np.uint64)
-    keys = np.asarray(merged.column(key).to_pylist(), dtype=np.uint64)
+    tags = col_np(merged, "_tag", np.uint64)
+    keys = col_np(merged, key, np.uint64)
     order = np.lexsort((keys, tags))[: min(k, merged.num_rows)]
     return merged.drop_columns(["_tag"]).take(pa.array(order, pa.int64()))

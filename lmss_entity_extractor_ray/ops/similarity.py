@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .arrow_np import col_np, emb_np
+
 
 def _unit(v: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(v)
@@ -39,8 +41,11 @@ def brute_force_topk(emb_ds: rd.Dataset, query: Sequence[float], k: int = 10) ->
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = col_np(batch, "vec_id")
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_e5": pa.array([], pa.int64())})
+        mat = emb_np(batch)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         cos = (mat @ qv) / norms
@@ -76,8 +81,8 @@ _I64MAX = np.iinfo(np.int64).max
 
 
 def _ids_unit(tbl: pa.Table):
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ids = col_np(tbl, "vec_id")
+    mat = emb_np(tbl)
     if mat.ndim == 1:  # zero rows
         mat = mat.reshape(0, 0)
     norms = np.linalg.norm(mat, axis=1, keepdims=True) if len(ids) else np.ones((0, 1))
@@ -156,9 +161,9 @@ def _top1_reduce(*parts: pa.Table) -> pa.Table:
         return pa.table({"vec_id": pa.array([], pa.int64()), "nn_id": pa.array([], pa.int64()),
                          "cos_e5": pa.array([], pa.int64())})
     # every partial for a block preserves the block's row order
-    ids = np.asarray(parts[0].column("vec_id").to_pylist(), dtype=np.int64)
-    cos = np.stack([np.asarray(p.column("cos").to_pylist(), dtype=np.float64) for p in parts])
-    nn = np.stack([np.asarray(p.column("nn_id").to_pylist(), dtype=np.int64) for p in parts])
+    ids = col_np(parts[0], "vec_id")
+    cos = np.stack([col_np(p, "cos") for p in parts])
+    nn = np.stack([col_np(p, "nn_id") for p in parts])
     best = cos.max(axis=0)
     nn_best = np.where(cos == best[None, :], nn, _I64MAX).min(axis=0)
     return pa.table(
@@ -208,7 +213,7 @@ def ivf_centroids(
     from .sampling import reservoir_sample
 
     tbl = reservoir_sample(emb_ds, sample_k, seed=seed, key=key)
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat = emb_np(tbl)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     unit = mat / norms
@@ -244,10 +249,10 @@ def ivf_topk(
 
     def scan(batch: pa.Table) -> pa.Table:
         qv, cs = ray.get(q_ref), ray.get(cents_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = col_np(batch, "vec_id")
         if not len(ids):
             return pa.table({"vec_id": pa.array([], pa.int64()), "cos_e5": pa.array([], pa.int64())})
+        mat = emb_np(batch)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = mat / norms
@@ -293,7 +298,7 @@ def lsh_bucketed(emb_ds: rd.Dataset, dim: int, n_planes: int = 6, seed: int = 13
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         planes = ray.get(planes_ref)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = emb_np(batch)
         b = _bucket_of(mat, planes).astype(np.int64)
         return batch.append_column("bucket", pa.array(b, pa.int64()))
 
@@ -327,8 +332,10 @@ def lsh_topk(
 
     def scan(batch: pa.Table) -> pa.Table:
         qv, pl, ok = ray.get(q_ref), ray.get(planes_ref), ray.get(ok_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = col_np(batch, "vec_id")
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()), "cos_e5": pa.array([], pa.int64())})
+        mat = emb_np(batch)
         buckets = _bucket_of(mat, pl)
         mask = np.isin(buckets, list(ok))
         if not mask.any():

@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .arrow_np import col_np
+
 
 def _partitions() -> int:
     try:
@@ -35,7 +37,7 @@ def _partitions() -> int:
 
 def _with_part(ds: rd.Dataset, key: str, P: int) -> rd.Dataset:
     def add_part(batch: pa.Table) -> pa.Table:
-        k = np.asarray(batch.column(key).to_pylist(), dtype=np.uint64)
+        k = col_np(batch, key, np.uint64)
         with np.errstate(over="ignore"):
             part = ((k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)).astype(
                 np.int32
@@ -43,6 +45,14 @@ def _with_part(ds: rd.Dataset, key: str, P: int) -> rd.Dataset:
         return batch.append_column("part", pa.array(part, pa.int32()))
 
     return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def _us(group: pa.Table, col: str) -> np.ndarray:
+    """timestamp column → int64 microseconds, straight from the buffer."""
+    arr = group.column(col).cast(pa.int64())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False)
 
 
 # ---------------------------------------------------------------------------
@@ -78,12 +88,10 @@ def session_window_stats(
         )
         if n == 0:
             return empty
-        uid = np.asarray(group.column(key).to_pylist(), dtype=np.int64)
-        ts = np.asarray(
-            group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64
-        )
-        eid = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
-        val = np.asarray(group.column("value").to_pylist(), dtype=np.float64)
+        uid = col_np(group, key)
+        ts = _us(group, "ts")
+        eid = col_np(group, "event_id")
+        val = col_np(group, "value")
         order = np.lexsort((eid, ts, uid))
         uid, ts, val = uid[order], ts[order], val[order]
         new_s = np.ones(n, dtype=bool)
@@ -143,12 +151,12 @@ def asof_lag(
         n = group.num_rows
         if n == 0:
             return empty
-        uid = np.asarray(group.column(key).to_pylist(), dtype=np.int64)
-        ts = np.asarray(
-            group.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64
+        uid = col_np(group, key)
+        ts = _us(group, "ts")
+        eid = col_np(group, "event_id")
+        etype = group.column("event_type").combine_chunks().to_numpy(
+            zero_copy_only=False
         )
-        eid = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
-        etype = np.asarray(group.column("event_type").to_pylist(), dtype=object)
         is_r = etype == right_type
         is_l = etype == left_type
         # right rows sort BEFORE left rows at equal (key, ts) → inclusive >=
@@ -213,11 +221,9 @@ def range_join_within(
         n = group.num_rows
         if n < 2:
             return empty
-        uid = np.asarray(group.column(key).to_pylist(), dtype=np.int64)
-        ts = np.asarray(
-            group.column(ts_col).cast(pa.int64()).to_pylist(), dtype=np.int64
-        )
-        rid = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        uid = col_np(group, key)
+        ts = _us(group, ts_col)
+        rid = col_np(group, id_col)
         order = np.lexsort((rid, ts, uid))
         uid, ts, rid = uid[order], ts[order], rid[order]
         # ts is sorted only WITHIN an entity's run, so the window end is a
