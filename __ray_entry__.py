@@ -266,6 +266,29 @@ def _q_ngram_jaccard(sf_dir: str):
     )
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Transitive closure of the exact n-gram near-dup pairs: every paired
+    doc labeled with its cluster (min reachable doc_id)."""
+    from lmss_entity_extractor_ray.ops.dedup import ngram_jaccard_pairs
+    from lmss_entity_extractor_ray.ops.graph import dup_clusters
+
+    return dup_clusters(
+        ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+    )
+
+
+def _q_dedup_canonical(sf_dir: str):
+    """End-to-end corpus dedup: drop non-canonical dup-cluster members."""
+    from lmss_entity_extractor_ray.ops.dedup import ngram_jaccard_pairs
+    from lmss_entity_extractor_ray.ops.graph import keep_canonical
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return keep_canonical(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), pairs
+    )
+
+
 def _q_embedding_near_dup(sf_dir: str):
     from lmss_entity_extractor_ray.ops.dedup import embedding_near_dup_pairs
 
@@ -288,6 +311,23 @@ def _q_ivf_topk(sf_dir: str):
     from lmss_entity_extractor_ray.ops.similarity import ivf_topk
 
     return ivf_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
+
+
+def _q_events_topk_by_type(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.topk import group_topk
+
+    return group_topk(
+        _read(sf_dir, "events", ["event_type", "value", "event_id"]),
+        key="event_type", value="value", id_col="event_id", k=5,
+    )
+
+
+def _q_stratified_sample(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.topk import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), stratum="lang", k=25
+    )
 
 
 def _q_hash_sample(sf_dir: str):
@@ -421,6 +461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash,
         "minhash_near_dup": _q_minhash_near_dup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_canonical_docs": _q_dedup_canonical,
         "embedding_near_dup": _q_embedding_near_dup,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -433,9 +475,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         "asof_lag": _q_asof_lag,
         "orders_range_join": _q_orders_range_join,
+        # grouped top-k
+        "events_topk_by_type": _q_events_topk_by_type,
         # sampling
         "hash_sample": _q_hash_sample,
         "reservoir_sample": _q_reservoir_sample,
+        "stratified_sample_by_lang": _q_stratified_sample,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal_decode,
         # generic relational coverage
@@ -456,6 +501,38 @@ _STOPWORDS_SQL = "('the','a','an','of','to','and','in','is','it','for')"
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE array_length({_TOKENS}) END"
 
+
+
+# shared CTE: exact n-gram Jaccard pairs (threshold 0.5) -> symmetric edges
+# -> transitive closure (recursive CTE) — the SQL mirror of
+# ngram_jaccard_pairs + connected_components
+_NGRAM_CC_CTE = """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                WHERE len(t) >= 3),
+            n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id),
+            pairs AS (
+                SELECT a, b FROM inter
+                JOIN n na ON na.doc_id = a
+                JOIN n nb ON nb.doc_id = b
+                WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.5),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach AS (
+                SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+"""
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -539,6 +616,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN n na ON na.doc_id = a
             JOIN n nb ON nb.doc_id = b
             WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.5
+        """,
+        "dup_clusters": _NGRAM_CC_CTE + """
+            SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+        """,
+        "dedup_canonical_docs": _NGRAM_CC_CTE + """
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id NOT IN (
+                SELECT u FROM reach GROUP BY u HAVING min(r) <> u)
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b,
@@ -633,6 +718,25 @@ def oracle_sql() -> dict[str, str]:
              AND abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate))
                  <= 604800000000
             ORDER BY 1, 2
+        """,
+        "events_topk_by_type": """
+            SELECT event_type, value, event_id, rn FROM (
+                SELECT event_type, value, event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY value DESC, event_id) AS rn
+                FROM events)
+            WHERE rn <= 5
+        """,
+        "stratified_sample_by_lang": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ((doc_id + 42) * 2654435761) % 4294967296,
+                                    doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 25
         """,
         "hash_sample": """
             SELECT doc_id, lang FROM documents

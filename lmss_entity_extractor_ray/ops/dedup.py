@@ -36,6 +36,7 @@ import ray.data as rd
 from ray.data.aggregate import Min
 
 from .arrow_np import col_np
+from .partitioning import shuffle_partitions as _sized_partitions
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -269,7 +270,7 @@ def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    P = num_partitions or _shuffle_partitions()
+    P = num_partitions or _shuffle_partitions(ds)
     # Stateless TASKS, not an actor pool: MinHasher state is ~1 KB of
     # permutation params (rebuilt per task for free), and task pools have no
     # ramp-up lag.  Single-file inputs arrive as ONE block — split first so
@@ -386,11 +387,12 @@ def _empty_pairs_table() -> pa.Table:
     )
 
 
-def _shuffle_partitions() -> int:
-    try:
-        return max(2, int(ray.cluster_resources().get("CPU", 4)))
-    except Exception:
-        return 4
+def _shuffle_partitions(ds=None, scale: float = 1.0) -> int:
+    """Exchange partition count: cluster-CPU floor, raised by a data-size
+    estimate when the source dataset is known (ops/partitioning.py) —
+    ``scale`` covers derived tables that out-grow their input (the shingle
+    explosion is ~ tokens-per-doc x bytes-per-shingle)."""
+    return _sized_partitions(ds, scale=scale)
 
 
 def _pair_counts(sh: rd.Dataset, num_partitions: int) -> rd.Dataset:
@@ -510,7 +512,7 @@ def ngram_jaccard_pairs(
     rows; for corpora with boilerplate n-grams, cap or drop top-frequency
     shingles on BOTH sides first (idf-style), which only removes
     non-discriminative intersections."""
-    P = num_partitions or _shuffle_partitions()
+    P = num_partitions or _shuffle_partitions(docs_ds, scale=8.0)
 
     def shingle_batch(batch: pa.Table) -> pa.Table:
         ids, shs, ns = [], [], []
@@ -582,7 +584,7 @@ def near_dup_pairs_minhash(
     Empty documents (no shingles) minhash to a constant signature, so they
     are all mutual candidates with J(∅,∅)=1.0 — they carry an n_sh=0
     sentinel row through the join and are special-cased in the finish."""
-    P = num_partitions or _shuffle_partitions()
+    P = num_partitions or _shuffle_partitions(docs_ds)
     cands = minhash_candidate_pairs(docs_ds, num_perm, bands, shingle_k)
 
     # candidate pairs + their distinct doc ids are output-scale (bounded by

@@ -1,0 +1,236 @@
+"""Connected components over a near-duplicate pair list → dedup clusters.
+
+The missing last step of the dedup family: pair emitters (exact / MinHash /
+SimHash / n-gram Jaccard / embedding cosine) produce EDGES; deduplicating a
+corpus needs the transitive closure — every document labeled with its
+cluster (the minimum doc id reachable through pair edges) so one canonical
+document per cluster survives.
+
+Execution model — iterative label propagation (hash-to-min) as a raw-Ray
+BSP loop, the documented fallback for semantics the Dataset API can't
+express (iteration with a driver-side convergence test):
+
+1. ONE Dataset pass symmetrizes the pairs and hash-partitions the edges by
+   ``hash(u) % P``; each partition's edge table and label table live in the
+   object store for the whole loop — nothing is re-shuffled per iteration.
+2. Per iteration, P message tasks send ``min(label)`` per destination node
+   (pre-combined per partition, so message volume is bounded by the number
+   of distinct destination nodes, not edges) and P update tasks fold the
+   messages into their labels; the driver sees only per-partition changed
+   COUNTS.  Label tables are sorted by node → label lookups are
+   ``searchsorted``, no Python dicts.
+3. Convergence in O(graph diameter) iterations — near-dup clusters are
+   shallow (a dup cluster's diameter is small by construction), so the loop
+   runs 2-4 rounds in practice; ``max_iters`` is a backstop.
+
+Scale notes: everything here is OUTPUT-scale (the near-duplicate pair
+population), never corpus-scale.  The partition count follows the shared
+data-size-aware sizing (ops/partitioning.py).  Cross-partition traffic per
+iteration is ≤ |distinct (dst partition, dst node)| rows.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .arrow_np import col_np
+from .partitioning import shuffle_partitions
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _part_of(x: np.ndarray, P: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ((x.astype(np.uint64) * _GOLD) % np.uint64(P)).astype(np.int64)
+
+
+def _split_by_part(tbl: pa.Table, part: np.ndarray, P: int) -> List[pa.Table]:
+    order = np.argsort(part, kind="stable")
+    sorted_part = part[order]
+    t = tbl.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(sorted_part, np.arange(P + 1))
+    return [t.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)]
+
+
+_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+_MSG_SCHEMA = pa.schema([("v", pa.int64()), ("m", pa.int64())])
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+
+
+@ray.remote
+def _cc_scatter(tbl: pa.Table, a: str, b: str, P: int) -> List[pa.Table]:
+    """Symmetrize one pairs block and split by hash(u) % P."""
+    if tbl.num_rows == 0:
+        return [_EDGE_SCHEMA.empty_table()] * P
+    x = col_np(tbl, a)
+    y = col_np(tbl, b)
+    u = np.concatenate([x, y])
+    v = np.concatenate([y, x])
+    edges = pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+    return _split_by_part(edges, _part_of(u, P), P)
+
+
+@ray.remote(num_returns=2)
+def _cc_build(*shards: pa.Table) -> Tuple[pa.Table, pa.Table]:
+    """One partition's sorted edge table + initial labels
+    (lab(u) = min(u, min neighbor) — a free first hash-to-min round)."""
+    t = pa.concat_tables([s for s in shards if s.num_rows] or [_EDGE_SCHEMA.empty_table()])
+    if t.num_rows == 0:
+        return _EDGE_SCHEMA.empty_table(), _LABEL_SCHEMA.empty_table()
+    u = col_np(t, "u")
+    v = col_np(t, "v")
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    starts = np.concatenate(([0], np.nonzero(u[1:] != u[:-1])[0] + 1))
+    nodes = u[starts]
+    lab = np.minimum(nodes, np.minimum.reduceat(v, starts))
+    edges = pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+    labels = pa.table({"node": pa.array(nodes, pa.int64()), "lab": pa.array(lab, pa.int64())})
+    return edges, labels
+
+
+@ray.remote
+def _cc_messages(edges: pa.Table, labels: pa.Table, P: int) -> List[pa.Table]:
+    """(v, min incident label) per destination node, split by hash(v) % P."""
+    if edges.num_rows == 0:
+        return [_MSG_SCHEMA.empty_table()] * P
+    u = col_np(edges, "u")
+    v = col_np(edges, "v")
+    nodes = col_np(labels, "node")
+    lab = col_np(labels, "lab")
+    ml = lab[np.searchsorted(nodes, u)]  # u is partition-local by construction
+    order = np.argsort(v, kind="stable")
+    vs, ml = v[order], ml[order]
+    starts = np.concatenate(([0], np.nonzero(vs[1:] != vs[:-1])[0] + 1))
+    dst = vs[starts]
+    m = np.minimum.reduceat(ml, starts)
+    msgs = pa.table({"v": pa.array(dst, pa.int64()), "m": pa.array(m, pa.int64())})
+    return _split_by_part(msgs, _part_of(dst, P), P)
+
+
+@ray.remote(num_returns=2)
+def _cc_update(labels: pa.Table, *msgs: pa.Table) -> Tuple[pa.Table, int]:
+    live = [t for t in msgs if t.num_rows]
+    if labels.num_rows == 0 or not live:
+        return labels, 0
+    t = pa.concat_tables(live)
+    v = col_np(t, "v")
+    m = col_np(t, "m")
+    order = np.lexsort((m, v))
+    v, m = v[order], m[order]
+    starts = np.concatenate(([0], np.nonzero(v[1:] != v[:-1])[0] + 1))
+    nodes = col_np(labels, "node")
+    lab = col_np(labels, "lab").copy()
+    idx = np.searchsorted(nodes, v[starts])  # unique per construction
+    upd = m[starts]
+    changed = int((upd < lab[idx]).sum())
+    lab[idx] = np.minimum(lab[idx], upd)
+    return (
+        pa.table({"node": labels.column("node"), "lab": pa.array(lab, pa.int64())}),
+        changed,
+    )
+
+
+@ray.remote
+def _cc_finish(labels: pa.Table, node_name: str, cluster_name: str) -> pa.Table:
+    return pa.table(
+        {node_name: labels.column("node"), cluster_name: labels.column("lab")}
+    )
+
+
+def connected_components(
+    pairs_ds: rd.Dataset,
+    a: str = "a",
+    b: str = "b",
+    node_name: str = "doc_id",
+    cluster_name: str = "cluster_id",
+    num_partitions: Optional[int] = None,
+    max_iters: int = 64,
+) -> rd.Dataset:
+    """(node, cluster_id) for every node appearing in the pair list, where
+    ``cluster_id`` is the minimum node id in its connected component."""
+    # P >= 2 keeps options(num_returns=P) returning a ref PER partition
+    # (num_returns=1 would hand back one ref to the whole list)
+    P = max(2, num_partitions or shuffle_partitions(pairs_ds))
+    blocks = pairs_ds.select_columns([a, b]).to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(
+            pa.schema([(node_name, pa.int64()), (cluster_name, pa.int64())]).empty_table()
+        )
+    # num_returns=P → every partition shard stays an object-store REF; the
+    # driver only ever routes refs, never edge/message bytes
+    shard_lists = [
+        _cc_scatter.options(num_returns=P).remote(blk, a, b, P) for blk in blocks
+    ]
+    edges, labels = [], []
+    for p in range(P):
+        e, l = _cc_build.remote(*[shards[p] for shards in shard_lists])
+        edges.append(e)
+        labels.append(l)
+    for _ in range(max_iters):
+        msg_lists = [
+            _cc_messages.options(num_returns=P).remote(edges[p], labels[p], P)
+            for p in range(P)
+        ]
+        changed_refs = []
+        new_labels = []
+        for p in range(P):
+            lab, ch = _cc_update.remote(labels[p], *[ml[p] for ml in msg_lists])
+            new_labels.append(lab)
+            changed_refs.append(ch)
+        labels = new_labels
+        if sum(ray.get(changed_refs)) == 0:
+            break
+    return rd.from_arrow_refs(
+        [_cc_finish.remote(labels[p], node_name, cluster_name) for p in range(P)]
+    )
+
+
+def dup_clusters(
+    pairs_ds: rd.Dataset, a: str = "a", b: str = "b",
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Near-dup clusters from a pair list: (doc_id, cluster_id = min
+    reachable doc_id).  Docs with no near-duplicate don't appear (they are
+    their own cluster implicitly)."""
+    return connected_components(pairs_ds, a=a, b=b, num_partitions=num_partitions)
+
+
+def keep_canonical(
+    docs_ds: rd.Dataset,
+    pairs_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    a: str = "a",
+    b: str = "b",
+) -> rd.Dataset:
+    """Drop every document that is a NON-canonical member of a dup cluster
+    (keeps the min-id doc per cluster and all unpaired docs).
+
+    The drop set is output-scale (the duplicate population) → broadcast once
+    via ``ray.put`` and filtered with one vectorized ``is_in`` per batch —
+    no corpus-side shuffle."""
+    import pyarrow.compute as pc
+
+    clusters = connected_components(pairs_ds, a=a, b=b, node_name="node")
+    drop: List[int] = []
+    for t in clusters.iter_batches(batch_format="pyarrow"):
+        node = col_np(t, "node")
+        cl = col_np(t, "cluster_id")
+        drop.extend(node[node != cl].tolist())
+    drop_arr = pa.array(sorted(drop), pa.int64())
+    drop_ref = ray.put(drop_arr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if len(d) == 0:
+            return batch
+        mask = pc.invert(pc.is_in(batch.column(id_col).cast(pa.int64()), value_set=d))
+        return batch.filter(mask)
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,56 @@
+"""Shuffle-partition sizing shared by the manual hash exchanges.
+
+CPU count alone is the wrong unit at scale: a 100 TB input on a 256-node
+cluster needs partitions sized so ONE partition's rows fit a worker's heap,
+which is a data-size target, not a parallelism target.  ``shuffle_partitions``
+takes the larger of the two bounds:
+
+- parallelism floor: ≥ cluster CPUs (every core gets a partition task);
+- data ceiling: input bytes (from the datasource's file metadata — free, no
+  execution) / ``target_bytes`` per partition, with a ~3× allowance for
+  parquet decompression.
+
+Derived datasets whose size diverges from their input files (e.g. an
+exploded shingle table) can pass ``scale`` to widen the estimate.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import ray
+
+_DECOMPRESS = 3  # parquet on-disk → in-memory Arrow expansion allowance
+
+
+def cluster_cpus(default: int = 4) -> int:
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", default)))
+    except Exception:
+        return default
+
+
+def shuffle_partitions(
+    ds=None,
+    target_bytes: int = 256 << 20,
+    scale: float = 1.0,
+    min_parts: int = 2,
+) -> int:
+    """Partition count for a manual hash exchange over ``ds``.
+
+    ``ds`` may be None (CPU-count floor only) or any Dataset whose lineage
+    starts at files — ``input_files()`` reads datasource metadata without
+    executing the plan.  ``scale`` multiplies the byte estimate for
+    transforms that blow up the input (shingle explosion ~ tokens per doc).
+    """
+    base = max(min_parts, cluster_cpus())
+    if ds is None:
+        return base
+    try:
+        files = ds.input_files()
+        nb = sum(os.path.getsize(f) for f in files if f and os.path.exists(f))
+        est = int(nb * _DECOMPRESS * scale // target_bytes) + 1
+        return max(base, est)
+    except Exception:
+        return base

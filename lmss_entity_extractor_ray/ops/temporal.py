@@ -26,13 +26,12 @@ import ray
 import ray.data as rd
 
 from .arrow_np import col_np
+from .partitioning import shuffle_partitions as _sized_partitions
 
 
-def _partitions() -> int:
-    try:
-        return max(2, int(ray.cluster_resources().get("CPU", 4)))
-    except Exception:
-        return 4
+def _partitions(ds=None) -> int:
+    """CPU floor + data-size ceiling (ops/partitioning.py)."""
+    return _sized_partitions(ds)
 
 
 def _with_part(ds: rd.Dataset, key: str, P: int) -> rd.Dataset:
@@ -73,7 +72,7 @@ def session_window_stats(
     Per-partition pass is fully vectorized: one lexsort by (key, ts,
     event_id), session boundaries from an int64-µs diff compare, per-session
     aggregates via ``np.add.reduceat`` over the boundary index vector."""
-    P = num_partitions or _partitions()
+    P = num_partitions or _partitions(events)
     gap_us = np.int64(gap_minutes) * 60 * 1_000_000
 
     def sessions(group: pa.Table) -> pa.Table:
@@ -139,7 +138,7 @@ def asof_lag(
     ts), ``np.maximum.accumulate`` over right-row indices, validity = the
     carried index belongs to the same entity (rows are entity-sorted, so a
     carried index from the previous entity has a different key value)."""
-    P = num_partitions or _partitions()
+    P = num_partitions or _partitions(events)
 
     def asof(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -208,7 +207,7 @@ def range_join_within(
     end, entity boundaries clamp it, and the pair index vectors come from a
     ``repeat``/``arange`` offset pattern (no Python loop over rows).  Output
     volume is bounded by true pair density, never all-pairs."""
-    P = num_partitions or _partitions()
+    P = num_partitions or _partitions(ds)
 
     def pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -154,7 +154,7 @@ def triples_dataset_distinct(
     # (measured: 16 partitions at 16 CPUs ran the link stage ~4-way
     # parallel).  ~8 per CPU keeps each group a few seconds and lets the
     # scheduler even out the waves.
-    nparts = 8 * _shuffle_partitions()
+    nparts = 8 * _shuffle_partitions(corpus_ds)
 
     def block_distinct(b: pa.Table) -> pa.Table:
         u = pc.unique(b.column("mtext"))
@@ -197,11 +197,13 @@ def triples_dataset_distinct(
     return ds
 
 
-def _shuffle_partitions() -> int:
-    try:
-        return max(2, int(ray.cluster_resources().get("CPU", 4)))
-    except Exception:
-        return 4
+def _shuffle_partitions(ds=None) -> int:
+    """CPU floor + data-size ceiling (ops/partitioning.py): at 100 TB the
+    mention exchange must scale with corpus bytes, not cores."""
+    from ..ops.partitioning import shuffle_partitions as _sized
+
+    # the distinct-mention table is ~1-2% of corpus bytes (measured r2)
+    return _sized(ds, scale=0.02)
 
 
 def triples_dataset(

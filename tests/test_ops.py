@@ -825,3 +825,139 @@ class TestRelationalVsDuckDB:
             e.oracle_sql()["supplier_balance_by_nation"],
             con,
         )
+
+
+# ---------------------------------------------------------------------------
+# graph (dup clusters) + grouped top-k
+# ---------------------------------------------------------------------------
+
+class TestGraph:
+    def _pairs(self):
+        import ray.data as rd
+
+        # chain 1-2-3-4, chain 10-11-12, star 20-{21,22,23}, pair 30-31
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([1, 2, 3, 10, 11, 20, 20, 20, 30], pa.int64()),
+                    "b": pa.array([2, 3, 4, 11, 12, 21, 22, 23, 31], pa.int64()),
+                }
+            )
+        )
+
+    def test_connected_components(self, ray_session):
+        from lmss_entity_extractor_ray.ops.graph import connected_components
+
+        df = connected_components(self._pairs(), num_partitions=4).to_pandas()
+        got = dict(zip(df["doc_id"], df["cluster_id"]))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                       20: 20, 21: 20, 22: 20, 23: 20, 30: 30, 31: 30}
+
+    def test_cc_single_partition_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import connected_components
+
+        df = connected_components(self._pairs(), num_partitions=2).to_pandas()
+        assert dict(zip(df["doc_id"], df["cluster_id"]))[4] == 1
+        empty = rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
+        assert connected_components(empty).count() == 0
+
+    def test_cc_vs_networkx_style_union_find(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import connected_components
+
+        rng = np.random.RandomState(7)
+        a = rng.randint(0, 200, 300).astype("int64")
+        b = rng.randint(0, 200, 300).astype("int64")
+        keep = a != b
+        a, b = a[keep], b[keep]
+        pairs = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+        df = connected_components(pairs, num_partitions=5).to_pandas()
+        got = dict(zip(df["doc_id"], df["cluster_id"]))
+
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        exp = {n: find(n) for n in set(a.tolist()) | set(b.tolist())}
+        assert got == exp
+
+    def test_keep_canonical(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import keep_canonical
+
+        docs = rd.from_arrow(
+            pa.table({"doc_id": pa.array(list(range(35)), pa.int64())})
+        )
+        kept = sorted(keep_canonical(docs, self._pairs()).to_pandas()["doc_id"])
+        dropped = sorted(set(range(35)) - set(kept))
+        assert dropped == [2, 3, 4, 11, 12, 21, 22, 23, 31]
+
+
+class TestTopK:
+    def test_group_topk_vs_pandas(self, ray_session):
+        import pandas as pd
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.topk import group_topk
+
+        rng = np.random.RandomState(0)
+        n = 4000
+        t = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 29, n).astype("int64")),
+                "val": pa.array(rng.rand(n)),
+                "id": pa.array(np.arange(n, dtype="int64")),
+            }
+        )
+        got = (
+            group_topk(rd.from_arrow(t).repartition(8), "k", "val", "id", 3)
+            .to_pandas()
+            .sort_values(["k", "rn"])
+            .reset_index(drop=True)[["k", "val", "id", "rn"]]
+        )
+        df = t.to_pandas().sort_values(["k", "val", "id"], ascending=[True, False, True])
+        df["rn"] = df.groupby("k").cumcount() + 1
+        exp = (
+            df[df.rn <= 3]
+            .sort_values(["k", "rn"])
+            .reset_index(drop=True)[["k", "val", "id", "rn"]]
+        )
+        exp["rn"] = exp["rn"].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_stratified_sample_deterministic_and_layout_independent(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.topk import stratified_sample
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(1000, dtype="int64")),
+                "lang": pa.array([["en", "de", "fr", "it"][i % 4] for i in range(1000)]),
+            }
+        )
+        a = (
+            stratified_sample(rd.from_arrow(t).repartition(2), "lang", 7)
+            .to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        )
+        b = (
+            stratified_sample(rd.from_arrow(t).repartition(13), "lang", 7)
+            .to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
+        assert (a.groupby("lang").size() == 7).all()
