@@ -701,12 +701,44 @@ def simhash64(text: str) -> int:
     return int(bits.dot(np.uint64(1) << np.arange(64, dtype=np.uint64)))
 
 
+_SIMHASH_TOKEN_MEMO: Dict[str, int] = {}
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    vals = [simhash64(t) for t in batch.column("text").to_pylist()]
+    """Whole-batch SimHash: token hashes for ALL docs concatenate into one
+    uint64 vector, the ±1 bit matrix is built with a single broadcast, and
+    per-doc bit sums come from ``np.add.reduceat`` over doc boundaries —
+    tf-weighting falls out for free because repeated tokens repeat their
+    rows (sum of ±1 per occurrence == Counter-weighted ±tf).  Bit-for-bit
+    identical to ``simhash64`` (pinned by pytest)."""
+    texts = batch.column("text").to_pylist()
+    per_doc = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=len(per_doc))
+    out = np.zeros(len(per_doc), dtype=np.uint64)
+    nonempty = np.nonzero(lens)[0]
+    if len(nonempty):
+        # Zipf vocabulary: hash each DISTINCT token once per batch (memoized
+        # across batches per process) and expand its 0/1 bit row by gather
+        toks = np.array(
+            [tok for i in nonempty for tok in per_doc[i]], dtype=object
+        )
+        uniq, inv = np.unique(toks, return_inverse=True)
+        memo = _SIMHASH_TOKEN_MEMO
+        hs_u = np.fromiter(
+            (memo.get(tok) or memo.setdefault(tok, _stable_hash(tok)) for tok in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        bits_u = ((hs_u[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        ones = np.add.reduceat(bits_u[inv], starts, axis=0)
+        # sign(sum of ±tf) > 0  ⇔  2·ones > doc token count
+        bits = (2 * ones > lens[nonempty, None]).astype(np.uint64)
+        out[nonempty] = bits @ (np.uint64(1) << shifts)
     # store as int64 two's complement (Arrow has no uint64 in some sinks)
-    as_i64 = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
     return pa.table(
-        {"doc_id": batch.column("doc_id"), "simhash": pa.array(as_i64, pa.int64())}
+        {"doc_id": batch.column("doc_id"), "simhash": pa.array(out.view(np.int64), pa.int64())}
     )
 
 
@@ -719,20 +751,17 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     blocking (pigeonhole: any pair within Hamming 3 shares a band) + exact
     verify inside each block group."""
     def to_bands(batch: pa.Table) -> pa.Table:
-        out_doc, out_band, out_key, out_sim = [], [], [], []
-        for doc_id, sh in zip(batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()):
-            u = sh & ((1 << 64) - 1)
-            for band in range(4):
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_key.append((u >> (16 * band)) & 0xFFFF)
-                out_sim.append(sh)
+        doc = col_np(batch, "doc_id")
+        sh = col_np(batch, "simhash", np.uint64)
+        n = len(doc)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = ((sh[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int32()),
-                "simhash": pa.array(out_sim, pa.int64()),
+                "doc_id": pa.array(np.repeat(doc, 4), pa.int64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+                "key": pa.array(keys.reshape(-1), pa.int32()),
+                "simhash": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
             }
         )
 
