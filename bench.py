@@ -127,9 +127,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "exact_dedup",
         "simhash_signatures",
         "minhash_near_dup",
+        "ngram_jaccard_pairs",
+        "dup_clusters",
         "embedding_near_dup",
         "ann_topk",
+        "events_topk_by_type",
         "hash_sample",
+        "stratified_sample_by_lang",
         "multimodal_decode",
         "pricing_summary",
         "top_customers",

@@ -48,25 +48,33 @@ def prefix_key(text: str, k: int = 5) -> str:
     return " ".join((text or "").split()[:k])
 
 
+def _prefix_key_arrow(col: pa.ChunkedArray, key_tokens: int) -> pa.ChunkedArray:
+    """Vectorized ``prefix_key`` — trim, unicode-whitespace split, first-k
+    join, all Arrow C++ kernels (parity with ``str.split()`` pinned by
+    pytest, including NBSP and leading/trailing whitespace)."""
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
+    toks = pc.utf8_split_whitespace(trimmed)
+    return pc.binary_join(
+        pc.list_slice(toks, 0, key_tokens).cast(pa.list_(pa.string())), " "
+    )
+
+
 def exact_dedup_groups(ds: rd.Dataset, key_tokens: int = 5) -> rd.Dataset:
     """Group documents by a normalized text key; keep the smallest doc_id per
     group plus the group size.  Two-phase: in-batch partial (key → local min
     id / count) shrinks the shuffle to one row per (key, block)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys: Dict[str, Tuple[int, int]] = {}
-        ids = batch.column("doc_id").to_pylist()
-        for t, i in zip(batch.column("text").to_pylist(), ids):
-            k = prefix_key(t, key_tokens)
-            cur = keys.get(k)
-            keys[k] = (i, 1) if cur is None else (min(cur[0], i), cur[1] + 1)
-        return pa.table(
+        t = pa.table(
             {
-                "dedup_key": pa.array(list(keys), pa.string()),
-                "min_id": pa.array([v[0] for v in keys.values()], pa.int64()),
-                "cnt": pa.array([v[1] for v in keys.values()], pa.int64()),
+                "dedup_key": _prefix_key_arrow(batch.column("text"), key_tokens),
+                "doc_id": batch.column("doc_id"),
             }
         )
+        g = t.group_by(["dedup_key"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        return g.rename_columns(["dedup_key", "min_id", "cnt"])
 
     from ray.data.aggregate import Sum
 
@@ -101,8 +109,9 @@ def exact_dedup_keep(ds: rd.Dataset, key_tokens: int = 5) -> rd.Dataset:
     by key, per-group first."""
 
     def keyed(batch: pa.Table) -> pa.Table:
-        keys = [prefix_key(t, key_tokens) for t in batch.column("text").to_pylist()]
-        return batch.append_column("dedup_key", pa.array(keys, pa.string()))
+        return batch.append_column(
+            "dedup_key", _prefix_key_arrow(batch.column("text"), key_tokens)
+        )
 
     def first_by_id(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])

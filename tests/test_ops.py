@@ -961,3 +961,17 @@ class TestTopK:
         )
         assert a.equals(b)
         assert (a.groupby("lang").size() == 7).all()
+
+
+class TestPrefixKeyArrow:
+    def test_parity_with_python_split(self, ray_session):
+        from lmss_entity_extractor_ray.ops.dedup import _prefix_key_arrow, prefix_key
+
+        cases = [
+            "a b c d e f g", "  leading  spaces ", "", "one",
+            "tab\tsep\nnl  x y z w", " \t ", "a " * 100,
+            "nb sp unicode ws", " thin space test x y z",
+        ]
+        col = pa.chunked_array([pa.array(cases)])
+        got = _prefix_key_arrow(col, 5).to_pylist()
+        assert got == [prefix_key(c, 5) for c in cases]
