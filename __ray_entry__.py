@@ -208,6 +208,20 @@ def _q_doc_dispatch_quarantine(sf_dir: str):
     return sort_table(final, [("kind", "ascending")])
 
 
+def _q_wordish_token_counts(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.text_ops import wordish_token_counts
+
+    return wordish_token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_curation(sf_dir: str):
+    """Flagship training-data flow: near-dup removal -> quality gate ->
+    stratified per-language sample, composed end to end."""
+    from lmss_entity_extractor_ray.pipelines.curate import curate
+
+    return curate(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
 def _q_token_counts(sf_dir: str):
     from lmss_entity_extractor_ray.ops.text_ops import token_counts
 
@@ -452,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
         # text analysis
         "token_counts": _q_token_counts,
+        "wordish_token_counts": _q_wordish_token_counts,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -477,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_range_join": _q_orders_range_join,
         # grouped top-k
         "events_topk_by_type": _q_events_topk_by_type,
+        # flagship curation composition (dedup -> quality -> sample)
+        "curation_pipeline": _q_curation,
         # sampling
         "hash_sample": _q_hash_sample,
         "reservoir_sample": _q_reservoir_sample,
@@ -563,6 +580,13 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY kind ORDER BY kind
         """,
         "token_counts": f"SELECT doc_id, {_NTOK} AS n_tokens FROM documents",
+        "wordish_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                                               '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]'))
+                        AS BIGINT) AS n_tokens_bpe
+            FROM documents
+        """,
         "quality_scores": f"""
             SELECT doc_id,
                    length(text) AS len_chars,
@@ -736,6 +760,20 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY ((doc_id + 42) * 2654435761) % 4294967296,
                                     doc_id) AS rn
                 FROM documents)
+            WHERE rn <= 25
+        """,
+        "curation_pipeline": _NGRAM_CC_CTE + f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ((doc_id + 42) * 2654435761) % 4294967296,
+                                    doc_id) AS rn
+                FROM documents d
+                WHERE d.doc_id NOT IN (
+                          SELECT u FROM reach GROUP BY u HAVING min(r) <> u)
+                  AND length(coalesce(d.text, '')) >= 100
+                  AND {_NTOK} >= 20)
             WHERE rn <= 25
         """,
         "hash_sample": """

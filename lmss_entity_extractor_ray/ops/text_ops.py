@@ -47,6 +47,26 @@ def token_counts(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_WORDISH_RE = r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]"
+
+
+def wordish_token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish token count: word runs OR single non-word non-space chars
+    (the pre-tokenization most BPE vocabularies apply), counted with ONE
+    Arrow RE2 kernel — no split materialization.  Both Arrow and DuckDB use
+    RE2, so the SQL oracle (``len(regexp_extract_all(text, pattern))``) is
+    exact."""
+    text = pc.fill_null(batch.column("text"), "")
+    n = pc.count_substring_regex(text, _WORDISH_RE).cast(pa.int64())
+    return pa.table({"doc_id": batch.column("doc_id"), "n_tokens_bpe": n})
+
+
+def wordish_token_counts(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(
+        wordish_token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     text = pc.fill_null(batch.column("text"), "")
     split, trimmed = _tokens_column(text)

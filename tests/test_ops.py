@@ -975,3 +975,49 @@ class TestPrefixKeyArrow:
         col = pa.chunked_array([pa.array(cases)])
         got = _prefix_key_arrow(col, 5).to_pylist()
         assert got == [prefix_key(c, 5) for c in cases]
+
+
+class TestCuration:
+    def test_wordish_token_counts(self, docs_ds, docs_tbl, ray_session):
+        import re
+
+        from lmss_entity_extractor_ray.ops.text_ops import wordish_token_counts
+
+        df = wordish_token_counts(docs_ds).to_pandas()
+        got = dict(zip(df["doc_id"], df["n_tokens_bpe"]))
+        pat = re.compile(r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]", re.ASCII)
+        for i, t in zip(
+            docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist()
+        ):
+            assert got[i] == len(pat.findall(t or "")), i
+
+    def test_curate_end_to_end_vs_duckdb(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.pipelines.curate import curate
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+        got = (
+            curate(docs)
+            .to_pandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as e
+
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+        )
+        exp = (
+            con.sql(e.oracle_sql()["curation_pipeline"])
+            .df()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["lang"].tolist() == exp["lang"].tolist()
