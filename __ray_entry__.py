@@ -411,6 +411,73 @@ def _q_orders_range_join(sf_dir: str):
     )
 
 
+def _q_orders_join_customer(sf_dir: str):
+    """General large-x-large hash equi-join (partition-aligned scatter +
+    per-partition Arrow C++ join)."""
+    from lmss_entity_extractor_ray.ops.join import hash_join
+
+    return hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        on="o_custkey",
+        right_on="c_custkey",
+    ).select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"])
+
+
+def _q_revenue_by_segment(sf_dir: str):
+    """hash_join composed with a bounded aggregate."""
+    import pyarrow as pa
+
+    from lmss_entity_extractor_ray.ops.combine import combine_partials, sort_table
+    from lmss_entity_extractor_ray.ops.join import hash_join
+
+    j = hash_join(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        on="o_custkey",
+        right_on="c_custkey",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["c_mktsegment"]).aggregate(
+            [([], "count_all"), ("o_totalprice", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "p_n", "p_rev"])
+
+    final = combine_partials(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [("p_n", "sum", "n_orders"), ("p_rev", "sum", "rev")],
+    )
+    import pyarrow.compute as pc
+
+    rev_c2 = pc.cast(
+        pc.floor(pc.add(pc.multiply(final.column("rev"), 100.0), 0.5)), pa.int64()
+    )
+    final = pa.table(
+        {
+            "c_mktsegment": final.column("c_mktsegment"),
+            "n_orders": final.column("n_orders"),
+            "revenue_c2": rev_c2,
+        }
+    )
+    return sort_table(final, [("c_mktsegment", "ascending")])
+
+
+def _q_doc_len_quantiles(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.stats import grouped_quantiles_ds
+
+    return grouped_quantiles_ds(
+        _read(sf_dir, "documents", ["lang", "n_chars"]), "lang", "n_chars"
+    )
+
+
+def _q_tfidf_topk(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.tfidf import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=10)
+
+
 def _q_pricing_summary(sf_dir: str):
     from lmss_entity_extractor_ray.ops.relational import pricing_summary
 
@@ -500,7 +567,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_by_lang": _q_stratified_sample,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal_decode,
+        # corpus statistics
+        "doc_len_quantiles_by_lang": _q_doc_len_quantiles,
+        "tfidf_topk": _q_tfidf_topk,
         # generic relational coverage
+        "orders_join_customer": _q_orders_join_customer,
+        "revenue_by_segment": _q_revenue_by_segment,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
@@ -792,6 +864,44 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS payload_sha256,
                    strlen(text) AS payload_bytes
             FROM documents
+        """,
+        "orders_join_customer": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "revenue_by_segment": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS revenue_c2
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+        "doc_len_quantiles_by_lang": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.25) AS q25,
+                   quantile_disc(n_chars, 0.5) AS q50,
+                   quantile_disc(n_chars, 0.9) AS q90
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tfv
+                   FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS dfv FROM tf GROUP BY term)
+            SELECT doc_id, term,
+                   CAST(floor(tfv * 1.0 / dfv * 100000 + 0.5) AS BIGINT) AS tfidf_e5,
+                   rn
+            FROM (
+                SELECT tf.doc_id, tf.term, tf.tfv, df.dfv,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tfv * 1.0 / df.dfv DESC, tf.term) AS rn
+                FROM tf JOIN df USING (term)) x
+            WHERE rn <= 10
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -132,6 +132,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "embedding_near_dup",
         "ann_topk",
         "events_topk_by_type",
+        "tfidf_topk",
+        "orders_join_customer",
         "hash_sample",
         "stratified_sample_by_lang",
         "multimodal_decode",

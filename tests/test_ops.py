@@ -1021,3 +1021,98 @@ class TestCuration:
         )
         assert got["doc_id"].tolist() == exp["doc_id"].tolist()
         assert got["lang"].tolist() == exp["lang"].tolist()
+
+
+class TestJoinStatsTfidf:
+    def test_hash_join_vs_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.join import hash_join
+
+        orders = rd.read_parquet(f"{SF}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = rd.read_parquet(f"{SF}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+        got = (
+            hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+            .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+                FROM '{SF}/orders.parquet' o JOIN '{SF}/customer.parquet' c
+                ON o.o_custkey = c.c_custkey ORDER BY o_orderkey"""
+        ).df()
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+    def test_hash_join_outer_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.join import hash_join
+
+        l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                                    "x": pa.array([10, 20, 30, 40], pa.int64())}))
+        r = rd.from_arrow(pa.table({"k": pa.array([2, 4, 9], pa.int64()),
+                                    "y": pa.array([200, 400, 900], pa.int64())}))
+        lo = hash_join(l, r, on="k", how="left outer").to_pandas().sort_values("k")
+        assert lo["k"].tolist() == [1, 2, 3, 4]
+        assert lo["y"].fillna(-1).tolist() == [-1, 200, -1, 400]
+        er = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                     "y": pa.array([], pa.int64())}))
+        assert hash_join(l, er, on="k").count() == 0
+
+    def test_grouped_quantiles_vs_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.stats import grouped_quantiles
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "n_chars"])
+        got = (
+            grouped_quantiles(docs.repartition(7), "lang", "n_chars")
+            .to_pandas().sort_values("lang").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""SELECT lang, quantile_disc(n_chars, 0.25) q25,
+                       quantile_disc(n_chars, 0.5) q50,
+                       quantile_disc(n_chars, 0.9) q90
+                FROM '{SF}/documents.parquet' GROUP BY lang ORDER BY lang"""
+        ).df().astype({"q25": "int64", "q50": "int64", "q90": "int64"})
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_tfidf_topk_vs_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.tfidf import tfidf_topk
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            tfidf_topk(docs.repartition(5), k=5)
+            .to_pandas().sort_values(["doc_id", "rn"]).reset_index(drop=True)
+            .astype({"rn": "int64"})
+        )
+        exp = duckdb.sql(
+            rf"""WITH toks AS (
+                    SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                                       x -> x <> '') AS t
+                    FROM '{SF}/documents.parquet'),
+                tf AS (SELECT doc_id, term, count(*) AS tfv
+                       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+                df AS (SELECT term, count(*) AS dfv FROM tf GROUP BY term)
+                SELECT doc_id, term,
+                       CAST(floor(tfv * 1.0 / dfv * 100000 + 0.5) AS BIGINT) AS tfidf_e5, rn
+                FROM (SELECT tf.doc_id, tf.term, tf.tfv, df.dfv,
+                             row_number() OVER (PARTITION BY tf.doc_id
+                                 ORDER BY tf.tfv * 1.0 / df.dfv DESC, tf.term) AS rn
+                      FROM tf JOIN df USING (term)) x
+                WHERE rn <= 5 ORDER BY doc_id, rn"""
+        ).df().astype({"rn": "int64", "tfidf_e5": "int64"})
+        pd.testing.assert_frame_equal(got, exp)
