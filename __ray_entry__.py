@@ -464,6 +464,74 @@ def _q_revenue_by_segment(sf_dir: str):
     return sort_table(final, [("c_mktsegment", "ascending")])
 
 
+def _q_high_value_customers(sf_dir: str):
+    """Semi-join through the same hash_join machinery (Arrow left-semi):
+    customers with at least one order above 450k.  (The left-anti variant is
+    pinned by pytest; on the synthetic tables every customer has orders, so
+    an anti-join contract query would be empty at every sf.)"""
+    from lmss_entity_extractor_ray.ops.join import hash_join
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def big(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("o_totalprice"), 450_000.0))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        big, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        orders,
+        on="c_custkey",
+        right_on="o_custkey",
+        how="left semi",
+    )
+
+
+def _q_lineitem_profile(sf_dir: str):
+    """Column profile (count / nulls / min / max) — the warehouse ANALYZE
+    primitive, as map-side partials + coordinator fold."""
+    import pyarrow as pa
+
+    from lmss_entity_extractor_ray.ops.combine import combine_partials, sort_table
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        names, n, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            col = batch.column(c)
+            names.append(c)
+            n.append(batch.num_rows)
+            nulls.append(col.null_count)
+            mins.append(pc.min(col).as_py())
+            maxs.append(pc.max(col).as_py())
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "p_n": pa.array(n, pa.int64()),
+                "p_nulls": pa.array(nulls, pa.int64()),
+                "p_min": pa.array(mins, pa.float64()),
+                "p_max": pa.array(maxs, pa.float64()),
+            }
+        )
+
+    final = combine_partials(
+        _read(sf_dir, "lineitem", cols).map_batches(partial, batch_format="pyarrow"),
+        ["column"],
+        [
+            ("p_n", "sum", "n_rows"),
+            ("p_nulls", "sum", "n_nulls"),
+            ("p_min", "min", "min_value"),
+            ("p_max", "max", "max_value"),
+        ],
+    )
+    return sort_table(final, [("column", "ascending")])
+
+
 def _q_doc_len_quantiles(sf_dir: str):
     from lmss_entity_extractor_ray.ops.stats import grouped_quantiles_ds
 
@@ -572,6 +640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         # generic relational coverage
         "orders_join_customer": _q_orders_join_customer,
+        "high_value_customers": _q_high_value_customers,
+        "lineitem_profile": _q_lineitem_profile,
         "revenue_by_segment": _q_revenue_by_segment,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
@@ -875,6 +945,25 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue_c2
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+        "high_value_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        """,
+        "lineitem_profile": """
+            WITH u AS (
+                SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+                       count(*) - count(l_quantity) AS n_nulls,
+                       CAST(min(l_quantity) AS DOUBLE) AS min_value,
+                       CAST(max(l_quantity) AS DOUBLE) AS max_value FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+                       min(l_extendedprice), max(l_extendedprice) FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', count(*), count(*) - count(l_discount),
+                       min(l_discount), max(l_discount) FROM lineitem)
+            SELECT * FROM u ORDER BY "column"
         """,
         "doc_len_quantiles_by_lang": """
             SELECT lang,

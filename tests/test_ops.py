@@ -1116,3 +1116,18 @@ class TestJoinStatsTfidf:
                 WHERE rn <= 5 ORDER BY doc_id, rn"""
         ).df().astype({"rn": "int64", "tfidf_e5": "int64"})
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestJoinVariants:
+    def test_semi_and_anti(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.join import hash_join
+
+        l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                                    "x": pa.array([1, 2, 3, 4, 5], pa.int64())}))
+        r = rd.from_arrow(pa.table({"k": pa.array([2, 4, 4], pa.int64())}))
+        semi = sorted(hash_join(l, r, on="k", how="left semi").to_pandas()["k"])
+        anti = sorted(hash_join(l, r, on="k", how="left anti").to_pandas()["k"])
+        assert semi == [2, 4]
+        assert anti == [1, 3, 5]
