@@ -43,6 +43,12 @@ from .arrow_np import col_np
 from .partitioning import shuffle_partitions
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
+_EDGE_ROWS_PER_PART = 1_000_000  # symmetrized edges per partition target
+
+
+@ray.remote
+def _nrows(t: pa.Table) -> int:
+    return t.num_rows
 
 
 def _part_of(x: np.ndarray, P: int) -> np.ndarray:
@@ -155,14 +161,24 @@ def connected_components(
 ) -> rd.Dataset:
     """(node, cluster_id) for every node appearing in the pair list, where
     ``cluster_id`` is the minimum node id in its connected component."""
-    # P >= 2 keeps options(num_returns=P) returning a ref PER partition
-    # (num_returns=1 would hand back one ref to the whole list)
-    P = max(2, num_partitions or shuffle_partitions(pairs_ds))
     blocks = pairs_ds.select_columns([a, b]).to_arrow_refs()
     if not blocks:
         return rd.from_arrow(
             pa.schema([(node_name, pa.int64()), (cluster_name, pa.int64())]).empty_table()
         )
+    if num_partitions is None:
+        # size P by the ACTUAL edge count (the pair table is already
+        # materialized behind `blocks`, so row counts are one metadata task
+        # per block): every extra partition costs 2 tasks per BSP wave, so a
+        # small dup population should run on a handful of partitions even on
+        # a big cluster — and a 10^9-edge graph gets its width from the data,
+        # not the CPU count.  P >= 2 keeps options(num_returns=P) returning a
+        # ref per partition.
+        total = sum(ray.get([_nrows.remote(t) for t in blocks]))
+        num_partitions = min(
+            shuffle_partitions(pairs_ds), total * 2 // _EDGE_ROWS_PER_PART + 1
+        )
+    P = max(2, num_partitions)
     # num_returns=P → every partition shard stays an object-store REF; the
     # driver only ever routes refs, never edge/message bytes
     shard_lists = [
