@@ -336,10 +336,6 @@ def dedup_triples(triples_ds: rd.Dataset) -> rd.Dataset:
 # skew-aware aggregates over triples (SURVEY.md §2.5 G3/G5, §4.3)
 # ---------------------------------------------------------------------------
 
-def _salt_of(values, buckets: int):
-    return [zlib.crc32(v.encode("utf-8")) % buckets for v in values]
-
-
 def salted_value_counts(
     ds: rd.Dataset, key: str, salt_from: str = "subj", buckets: int = 16,
     shuffle: bool = False,
@@ -348,19 +344,24 @@ def salted_value_counts(
     IRIs — a handful of classes tag most pages, SURVEY.md §7.4.5).
 
     Default path: the in-batch partial count (stage 1) already collapses
-    every block to ≤ |keys × salts| rows, and the key is bounded-cardinality
+    every block to ≤ |keys| rows, and the key is bounded-cardinality
     (branches/classes), so the global merge is a coordinator fold
-    (ops/combine.py) — no shuffle at all, and a deterministic (n desc, key
-    asc) output order.
+    (ops/combine.py) — no shuffle, no salt, and a deterministic (n desc,
+    key asc) output order.
 
     ``shuffle=True`` keeps the three-stage FP-Hadoop-style salted exchange
     (PAPERS.md, VLDB 2015) for when the partial cardinality itself is too
     large to fold on the driver:
-      1. in-batch partial count per (key, salt) — map-side combine;
+      1. in-batch partial count per (key, salt) — map-side combine; the
+         salt is ``row_position % buckets`` (vectorized — after the final
+         re-aggregation ANY per-row assignment yields identical counts, and
+         round-robin spreads a hot key perfectly);
       2. groupby (key, salt) Sum — the shuffle fans each hot key out over
-         ``buckets`` reducers instead of one;
+         ``buckets`` reducers instead of one (``salt_from`` is kept for API
+         compatibility; the exchange key is what matters);
       3. groupby key Sum over ≤ buckets rows/key — trivially small.
     """
+    import numpy as np
 
     partial_schema = pa.schema(
         [(key, pa.string()), ("salt", pa.int32()), ("partial_count", pa.int64())]
@@ -369,14 +370,20 @@ def salted_value_counts(
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return partial_schema.empty_table()
-        salts = _salt_of(batch.column(salt_from).to_pylist(), buckets)
+        salts = (np.arange(batch.num_rows, dtype=np.int64) % buckets).astype(np.int32)
         t = pa.table({key: batch.column(key), "salt": pa.array(salts, pa.int32())})
         # Arrow C++ hash-group-by does the counting; no per-row Python dict
         g = t.group_by([key, "salt"]).aggregate([([], "count_all")])
         return g.rename_columns([key, "salt", "partial_count"]).cast(partial_schema)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    def partial_unsalted(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([(key, pa.string()), ("partial_count", pa.int64())]).empty_table()
+        g = batch.select([key]).group_by([key]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "partial_count"])
+
     if shuffle:
+        partials = ds.map_batches(partial, batch_format="pyarrow")
         salted = partials.groupby([key, "salt"]).aggregate(
             Sum("partial_count", alias_name="salted_count")
         )
@@ -387,7 +394,11 @@ def salted_value_counts(
         )
     from ..ops.combine import combine_partials, sort_table
 
-    final = combine_partials(partials, [key], [("partial_count", "sum", "n")])
+    final = combine_partials(
+        ds.map_batches(partial_unsalted, batch_format="pyarrow"),
+        [key],
+        [("partial_count", "sum", "n")],
+    )
     return rd.from_arrow(
         sort_table(final, [("n", "descending"), (key, "ascending")])
     )
