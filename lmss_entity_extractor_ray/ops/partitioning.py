@@ -17,7 +17,7 @@ exploded shingle table) can pass ``scale`` to widen the estimate.
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import ray
 

@@ -17,7 +17,7 @@ oracle compares value-for-value.
 
 from __future__ import annotations
 
-import math
+
 from typing import Sequence
 
 import numpy as np
