@@ -404,7 +404,9 @@ def _shuffle_partitions(ds=None, scale: float = 1.0) -> int:
     return _sized_partitions(ds, scale=scale)
 
 
-def _pair_counts(sh: rd.Dataset, num_partitions: int) -> rd.Dataset:
+def _pair_counts(
+    sh: rd.Dataset, num_partitions: int, max_shingle_freq: Optional[int] = None
+) -> rd.Dataset:
     """(a, b, inter, n_a, n_b) for every doc pair sharing ≥1 shingle.
 
     Distributed inverted-index self-join, hand-rolled as ONE hash shuffle:
@@ -415,7 +417,15 @@ def _pair_counts(sh: rd.Dataset, num_partitions: int) -> rd.Dataset:
     single exchange + P partition tasks — measured ~5x cheaper than Ray's
     general hash-join operator, whose per-partition aggregator actors
     dominate at small scale.  Partitioning assumption: one partition's
-    shingle rows fit a worker (scale P with the corpus)."""
+    shingle rows fit a worker (scale P with the corpus).
+
+    ``max_shingle_freq``: a shingle shared by m docs emits m(m-1)/2 join
+    rows, so one boilerplate phrase shared by 10^4 documents costs 5·10^7
+    pairs — on template-heavy corpora this is THE blow-up.  Setting a cap
+    skips runs with m > cap: intersections lose only those
+    non-discriminative shingles (the result is exact Jaccard over the
+    sub-cap shingle space; n_a/n_b still count all shingles, so J is
+    under-, never over-estimated).  None (default) = exact."""
     import zlib
 
     P = num_partitions
@@ -456,7 +466,7 @@ def _pair_counts(sh: rd.Dataset, num_partitions: int) -> rd.Dataset:
         for k in range(len(bounds) - 1):
             lo, hi = int(bounds[k]), int(bounds[k + 1])
             m = hi - lo
-            if m < 2:
+            if m < 2 or (max_shingle_freq is not None and m > max_shingle_freq):
                 continue
             tri = tri_cache.get(m)
             if tri is None:
@@ -575,42 +585,48 @@ def near_dup_pairs_minhash(
     bands: int = 16,
     shingle_k: int = 3,
     num_partitions: Optional[int] = None,
+    max_shingle_freq: Optional[int] = None,
 ) -> rd.Dataset:
     """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard —
     fully distributed, end to end:
 
-      1. candidate pairs via the banding shuffle (minhash_candidate_pairs);
-      2. shingle rows (doc_id, shingle_hash, n_sh) for CANDIDATE docs only —
-         a broadcast semi-join filter (the distinct-candidate-doc set is
-         output-scale: bounded by the near-duplicate population, not the
-         corpus);
+      1. candidate pairs via the banding shuffle (minhash_candidate_pairs),
+         kept in the object store (a template-heavy corpus measured 21M
+         candidate pairs from 195k docs — candidate populations are NOT
+         always driver-sized);
+      2. the distinct candidate DOC IDS (bounded by the corpus, typically
+         far smaller) broadcast once as one sorted int64 array; the shingle
+         pass keeps candidate docs via a vectorized searchsorted, no Python
+         set membership;
       3. exact intersection counts via the distributed inverted-index
-         self-join (_pair_counts) — the "shuffle shingles to pair
-         partitions" step; nothing corpus-sized ever reaches the driver;
-      4. inner-join the counts back to the candidate pairs (verification is
-         defined over LSH candidates) and keep pairs with J >= threshold.
+         self-join (_pair_counts) — pass ``max_shingle_freq`` on boilerplate
+         corpora (see _pair_counts; default exact);
+      4. counts ∩ candidates via the multi-key hash_join (left semi on
+         (a, b)) — verification is defined over LSH candidates, and the
+         join is a partition-aligned exchange, never a driver set.
 
     Empty documents (no shingles) minhash to a constant signature, so they
     are all mutual candidates with J(∅,∅)=1.0 — they carry an n_sh=0
     sentinel row through the join and are special-cased in the finish."""
-    P = num_partitions or _shuffle_partitions(docs_ds)
-    cands = minhash_candidate_pairs(docs_ds, num_perm, bands, shingle_k)
+    from .join import hash_join
 
-    # candidate pairs + their distinct doc ids are output-scale (bounded by
-    # the near-duplicate population, not the corpus) → broadcast both as
-    # semi-join filters; everything corpus-sized stays in shuffles
-    need: Set[int] = set()
-    cand_pairs: Set[Tuple[int, int]] = set()
-    for b in cands.select_columns(["a", "b"]).iter_batches(batch_format="pyarrow"):
-        aa, bb = b.column("a").to_pylist(), b.column("b").to_pylist()
-        cand_pairs.update(zip(aa, bb))
-        need.update(aa)
-        need.update(bb)
-    if not need:
+    P = num_partitions or _shuffle_partitions(docs_ds)
+    cands = minhash_candidate_pairs(
+        docs_ds, num_perm, bands, shingle_k
+    ).select_columns(["a", "b"]).materialize()
+
+    id_parts: List[np.ndarray] = []
+    for blk in cands.iter_batches(batch_format="pyarrow"):
+        if blk.num_rows:
+            id_parts.append(
+                np.unique(np.concatenate([col_np(blk, "a"), col_np(blk, "b")]))
+            )
+    if not id_parts:
         return rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
         )
+    need = np.unique(np.concatenate(id_parts))  # sorted distinct doc ids
     need_ref = ray.put(need)
     # an empty doc emits ONE sentinel row (n_sh=0) so empty-empty candidate
     # pairs survive the join; a real 64-bit shingle hash colliding with the
@@ -619,13 +635,14 @@ def near_dup_pairs_minhash(
 
     def shingles_of(batch: pa.Table) -> pa.Table:
         wanted = ray.get(need_ref)
+        ids_np = col_np(batch, "doc_id")
+        pos = np.minimum(np.searchsorted(wanted, ids_np), len(wanted) - 1)
+        mask = wanted[pos] == ids_np
+        texts = batch.column("text").to_pylist()
         ids, shs, ns = [], [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            if doc_id not in wanted:
-                continue
-            sh = word_shingles(text, shingle_k)
+        for i in np.nonzero(mask)[0]:
+            doc_id = int(ids_np[i])
+            sh = word_shingles(texts[i], shingle_k)
             if sh:
                 arr = np.fromiter(sh, dtype=np.uint64, count=len(sh)).astype(np.int64)
                 ids.extend([doc_id] * len(sh))
@@ -644,18 +661,11 @@ def near_dup_pairs_minhash(
         )
 
     sh = docs_ds.map_batches(shingles_of, batch_format="pyarrow")
-    counts = _pair_counts(sh, P)
-    pairs_ref = ray.put(cand_pairs)
+    counts = _pair_counts(sh, P, max_shingle_freq=max_shingle_freq)
+    verified = hash_join(counts, cands, on=["a", "b"], how="left semi",
+                         num_partitions=P)
 
     def finish(batch: pa.Table) -> pa.Table:
-        # verification is defined over LSH candidates: pairs that merely
-        # share a shingle (but no band) are not part of this op's output
-        cp = ray.get(pairs_ref)
-        is_cand = pa.array(
-            [(x, y) in cp for x, y in zip(batch.column("a").to_pylist(),
-                                          batch.column("b").to_pylist())]
-        )
-        batch = batch.filter(is_cand)
         inter = col_np(batch, "inter", np.float64)
         n_a = col_np(batch, "n_a", np.float64)
         n_b = col_np(batch, "n_b", np.float64)
@@ -673,7 +683,7 @@ def near_dup_pairs_minhash(
             }
         )
 
-    return counts.map_batches(finish, batch_format="pyarrow")
+    return verified.map_batches(finish, batch_format="pyarrow")
 
 
 def brute_force_jaccard_pairs(table: pa.Table, threshold: float, shingle_k: int = 3) -> List[Tuple[int, int, float]]:

@@ -19,7 +19,7 @@ in one partition by construction).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Sequence, Union
 
 import numpy as np
 import pyarrow as pa
@@ -33,11 +33,16 @@ from .partitioning import shuffle_partitions
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _scatter_shards(tbl: pa.Table, key: str, P: int) -> List[pa.Table]:
+def _scatter_shards(tbl: pa.Table, keys: Sequence[str], P: int) -> List[pa.Table]:
     if tbl.num_rows == 0:
         return [tbl] * P
     with np.errstate(over="ignore"):
-        part = ((col_np(tbl, key, np.uint64) * _GOLD) % np.uint64(P)).astype(np.int64)
+        h = np.zeros(tbl.num_rows, dtype=np.uint64)
+        for key in keys:
+            # mix every key column; co-partitioning only needs the same
+            # function on both sides
+            h = (h ^ col_np(tbl, key, np.uint64)) * _GOLD
+        part = (h % np.uint64(P)).astype(np.int64)
     order = np.argsort(part, kind="stable")
     t = tbl.take(pa.array(order, pa.int64()))
     bounds = np.searchsorted(part[order], np.arange(P + 1))
@@ -45,15 +50,15 @@ def _scatter_shards(tbl: pa.Table, key: str, P: int) -> List[pa.Table]:
 
 
 @ray.remote
-def _scatter_task(tbl: pa.Table, key: str, P: int) -> List[pa.Table]:
-    return _scatter_shards(tbl, key, P)
+def _scatter_task(tbl: pa.Table, keys: Sequence[str], P: int) -> List[pa.Table]:
+    return _scatter_shards(tbl, keys, P)
 
 
 @ray.remote
 def _join_task(
     n_left: int,
-    left_key: str,
-    right_key: str,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str],
     join_type: str,
     right_suffix: str,
     *shards: pa.Table,
@@ -62,8 +67,8 @@ def _join_task(
     right = pa.concat_tables(shards[n_left:], promote_options="default")
     return left.combine_chunks().join(
         right.combine_chunks(),
-        keys=[left_key],
-        right_keys=[right_key],
+        keys=list(left_keys),
+        right_keys=list(right_keys),
         join_type=join_type,
         right_suffix=right_suffix,
     )
@@ -72,17 +77,20 @@ def _join_task(
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
-    on: str,
-    right_on: Optional[str] = None,
+    on: Union[str, Sequence[str]],
+    right_on: Optional[Union[str, Sequence[str]]] = None,
     how: str = "inner",
     right_suffix: str = "_r",
     num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
-    """Join two Datasets on an integer key column.
+    """Join two Datasets on one or more integer key columns.
 
     ``how`` follows Arrow's ``join_type`` names ("inner", "left outer",
     "right outer", "full outer", "left semi", "left anti")."""
-    right_on = right_on or on
+    lk = [on] if isinstance(on, str) else list(on)
+    rk = lk if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
     P = max(
         2,
         num_partitions
@@ -90,13 +98,13 @@ def hash_join(
     )
     lrefs = left.to_arrow_refs()
     rrefs = right.to_arrow_refs()
-    lshards = [_scatter_task.options(num_returns=P).remote(r, on, P) for r in lrefs]
-    rshards = [_scatter_task.options(num_returns=P).remote(r, right_on, P) for r in rrefs]
+    lshards = [_scatter_task.options(num_returns=P).remote(r, lk, P) for r in lrefs]
+    rshards = [_scatter_task.options(num_returns=P).remote(r, rk, P) for r in rrefs]
     out = [
         _join_task.remote(
             len(lshards),
-            on,
-            right_on,
+            lk,
+            rk,
             how,
             right_suffix,
             *[s[p] for s in lshards],
