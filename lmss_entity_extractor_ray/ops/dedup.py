@@ -223,8 +223,13 @@ class MinHasher:
         lens = np.array([len(x) for x in per_doc])
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         h = np.concatenate(per_doc)
-        sig_all = _fold61(_mulmod_p61(h[:, None], self.a[None, :]) + self.b[None, :])
-        return np.minimum.reduceat(sig_all, starts, axis=0)
+        # the Mersenne arithmetic is ~2/3 of signature cost and shingles
+        # repeat heavily across a batch's docs (boilerplate/templates), so
+        # run it once per DISTINCT shingle and expand by gather — identical
+        # values, U ≤ T work
+        uniq, inv = np.unique(h, return_inverse=True)
+        sig_u = _fold61(_mulmod_p61(uniq[:, None], self.a[None, :]) + self.b[None, :])
+        return np.minimum.reduceat(sig_u[inv], starts, axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = col_np(batch, "doc_id")
