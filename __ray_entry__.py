@@ -222,6 +222,12 @@ def _q_curation(sf_dir: str):
     return curate(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
 
 
+def _q_chunk_documents(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.chunking import chunk_documents
+
+    return chunk_documents(_read(sf_dir, "documents", ["doc_id", "text"]), 64)
+
+
 def _q_token_counts(sf_dir: str):
     from lmss_entity_extractor_ray.ops.text_ops import token_counts
 
@@ -602,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_counts": _q_token_counts,
         "wordish_token_counts": _q_wordish_token_counts,
+        "chunk_documents": _q_chunk_documents,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -728,6 +735,22 @@ def oracle_sql() -> dict[str, str]:
                                                '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]'))
                         AS BIGINT) AS n_tokens_bpe
             FROM documents
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text, '')),
+                                                       '\\s+') END AS t
+                FROM documents)
+            SELECT doc_id, g.i AS chunk_id,
+                   array_to_string(t[(g.i*64+1):((g.i+1)*64)], ' ') AS chunk,
+                   CAST(least(len(t) - g.i*64, 64) AS BIGINT) AS n_tokens
+            FROM toks,
+                 unnest(generate_series(0, CAST(ceil(len(t)/64.0) AS BIGINT) - 1))
+                     AS g(i)
+            WHERE len(t) > 0
         """,
         "quality_scores": f"""
             SELECT doc_id,

@@ -1131,3 +1131,23 @@ class TestJoinVariants:
         anti = sorted(hash_join(l, r, on="k", how="left anti").to_pandas()["k"])
         assert semi == [2, 4]
         assert anti == [1, 3, 5]
+
+
+class TestChunking:
+    def test_chunk_documents_edges(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.chunking import chunk_documents
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["", None, "one two three", " ".join(f"w{i}" for i in range(130))]),
+            }
+        )
+        df = chunk_documents(rd.from_arrow(t), 64).to_pandas().sort_values(["doc_id", "chunk_id"])
+        assert df[df.doc_id == 3]["chunk"].tolist() == ["one two three"]
+        d4 = df[df.doc_id == 4]
+        assert d4["n_tokens"].tolist() == [64, 64, 2]
+        assert d4["chunk"].iloc[2] == "w128 w129"
+        assert set(df["doc_id"]) == {3, 4}  # empty/null docs emit no chunks
