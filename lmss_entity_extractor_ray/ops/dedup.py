@@ -591,6 +591,7 @@ def near_dup_pairs_minhash(
     shingle_k: int = 3,
     num_partitions: Optional[int] = None,
     max_shingle_freq: Optional[int] = None,
+    broadcast_pairs_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard —
     fully distributed, end to end:
@@ -606,9 +607,13 @@ def near_dup_pairs_minhash(
       3. exact intersection counts via the distributed inverted-index
          self-join (_pair_counts) — pass ``max_shingle_freq`` on boilerplate
          corpora (see _pair_counts; default exact);
-      4. counts ∩ candidates via the multi-key hash_join (left semi on
-         (a, b)) — verification is defined over LSH candidates, and the
-         join is a partition-aligned exchange, never a driver set.
+      4. counts ∩ candidates — verification is defined over LSH
+         candidates.  Small candidate sets (≤ ``broadcast_pairs_limit``)
+         broadcast as ONE sorted structured array and filter inside the
+         finish map (exact, vectorized searchsorted — no Python sets, no
+         extra exchange); larger sets go through the multi-key hash_join
+         (left semi on (a, b)) — a partition-aligned exchange, never a
+         driver set.
 
     Empty documents (no shingles) minhash to a constant signature, so they
     are all mutual candidates with J(∅,∅)=1.0 — they carry an n_sh=0
@@ -667,8 +672,36 @@ def near_dup_pairs_minhash(
 
     sh = docs_ds.map_batches(shingles_of, batch_format="pyarrow")
     counts = _pair_counts(sh, P, max_shingle_freq=max_shingle_freq)
-    verified = hash_join(counts, cands, on=["a", "b"], how="left semi",
-                         num_partitions=P)
+
+    _PAIR_DT = np.dtype([("a", "<i8"), ("b", "<i8")])
+    n_pairs = cands.count()  # materialized → metadata only
+    if n_pairs <= broadcast_pairs_limit:
+        # small-side broadcast: sorted structured array, exact elementwise
+        # membership via searchsorted (16 bytes/pair → ≤ 80 MB at the limit)
+        rec = np.empty(n_pairs, dtype=_PAIR_DT)
+        off = 0
+        for blk in cands.iter_batches(batch_format="pyarrow"):
+            m = blk.num_rows
+            rec["a"][off : off + m] = col_np(blk, "a")
+            rec["b"][off : off + m] = col_np(blk, "b")
+            off += m
+        rec.sort(order=("a", "b"))
+        rec_ref = ray.put(rec)
+
+        def semi_filter(batch: pa.Table) -> pa.Table:
+            cand = ray.get(rec_ref)
+            if batch.num_rows == 0 or len(cand) == 0:
+                return batch.slice(0, 0)
+            q = np.empty(batch.num_rows, dtype=_PAIR_DT)
+            q["a"] = col_np(batch, "a")
+            q["b"] = col_np(batch, "b")
+            pos = np.minimum(np.searchsorted(cand, q), len(cand) - 1)
+            return batch.filter(pa.array(cand[pos] == q))
+
+        verified = counts.map_batches(semi_filter, batch_format="pyarrow")
+    else:
+        verified = hash_join(counts, cands, on=["a", "b"], how="left semi",
+                             num_partitions=P)
 
     def finish(batch: pa.Table) -> pa.Table:
         inter = col_np(batch, "inter", np.float64)
