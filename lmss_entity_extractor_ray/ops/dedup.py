@@ -521,6 +521,7 @@ def _pair_counts(
 def ngram_jaccard_pairs(
     docs_ds: rd.Dataset, threshold: float = 0.5, shingle_k: int = 3,
     num_partitions: Optional[int] = None,
+    max_shingle_freq: Optional[int] = None,
 ) -> rd.Dataset:
     """EXACT n-gram Jaccard near-dup pairs: every unordered doc pair with
     |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold.
@@ -559,7 +560,7 @@ def ngram_jaccard_pairs(
         )
 
     sh = docs_ds.map_batches(shingle_batch, batch_format="pyarrow")
-    counts = _pair_counts(sh, P)
+    counts = _pair_counts(sh, P, max_shingle_freq=max_shingle_freq)
 
     def finish(batch: pa.Table) -> pa.Table:
         inter = col_np(batch, "inter", np.float64)

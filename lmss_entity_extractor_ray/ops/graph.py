@@ -224,29 +224,44 @@ def keep_canonical(
     id_col: str = "doc_id",
     a: str = "a",
     b: str = "b",
+    broadcast_limit: int = 20_000_000,
 ) -> rd.Dataset:
     """Drop every document that is a NON-canonical member of a dup cluster
     (keeps the min-id doc per cluster and all unpaired docs).
 
-    The drop set is output-scale (the duplicate population) → broadcast once
-    via ``ray.put`` and filtered with one vectorized ``is_in`` per batch —
-    no corpus-side shuffle."""
-    import pyarrow.compute as pc
-
+    The drop set (duplicate population) broadcasts as ONE sorted int64
+    array when it fits ``broadcast_limit`` (8 B/id — filtering is a
+    vectorized searchsorted per batch, no corpus shuffle); beyond that the
+    filter becomes a left-anti hash_join on the id, a partition-aligned
+    exchange (ops/join.py)."""
     clusters = connected_components(pairs_ds, a=a, b=b, node_name="node")
-    drop: List[int] = []
-    for t in clusters.iter_batches(batch_format="pyarrow"):
-        node = col_np(t, "node")
-        cl = col_np(t, "cluster_id")
-        drop.extend(node[node != cl].tolist())
-    drop_arr = pa.array(sorted(drop), pa.int64())
+
+    def non_canonical(batch: pa.Table) -> pa.Table:
+        node = col_np(batch, "node")
+        cl = col_np(batch, "cluster_id")
+        return pa.table({"drop_id": pa.array(node[node != cl], pa.int64())})
+
+    drops = clusters.map_batches(non_canonical, batch_format="pyarrow").materialize()
+    n_drop = drops.count()
+    if n_drop > broadcast_limit:
+        from .join import hash_join
+
+        return hash_join(docs_ds, drops, on=id_col, right_on="drop_id",
+                         how="left anti")
+    parts = [
+        col_np(t, "drop_id")
+        for t in drops.iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    drop_arr = np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
     drop_ref = ray.put(drop_arr)
 
     def keep(batch: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
-        if len(d) == 0:
+        if len(d) == 0 or batch.num_rows == 0:
             return batch
-        mask = pc.invert(pc.is_in(batch.column(id_col).cast(pa.int64()), value_set=d))
-        return batch.filter(mask)
+        ids = col_np(batch, id_col)
+        pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+        return batch.filter(pa.array(d[pos] != ids))
 
     return docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
