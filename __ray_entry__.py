@@ -228,6 +228,16 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(_read(sf_dir, "documents", ["doc_id", "text"]), 64)
 
 
+def _q_packed_sequences(sf_dir: str):
+    """Greedy concatenation packing via the global ordered prefix-sum
+    (ops/prefix.py) — Ray Data has no cumulative-aggregate primitive."""
+    from lmss_entity_extractor_ray.ops.prefix import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", ["doc_id", "text"]), seq_tokens=256, chunk_tokens=64
+    )
+
+
 def _q_token_counts(sf_dir: str):
     from lmss_entity_extractor_ray.ops.text_ops import token_counts
 
@@ -609,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "wordish_token_counts": _q_wordish_token_counts,
         "chunk_documents": _q_chunk_documents,
+        "packed_sequences": _q_packed_sequences,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -751,6 +762,32 @@ def oracle_sql() -> dict[str, str]:
                  unnest(generate_series(0, CAST(ceil(len(t)/64.0) AS BIGINT) - 1))
                      AS g(i)
             WHERE len(t) > 0
+        """,
+        "packed_sequences": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text, '')),
+                                                       '\\s+') END AS t
+                FROM documents),
+            chunks AS (
+                SELECT doc_id, g.i AS chunk_id,
+                       CAST(least(len(t) - g.i*64, 64) AS BIGINT) AS n_tokens
+                FROM toks,
+                     unnest(generate_series(0, CAST(ceil(len(t)/64.0) AS BIGINT) - 1))
+                         AS g(i)
+                WHERE len(t) > 0),
+            scan AS (
+                SELECT *, COALESCE(SUM(n_tokens) OVER (
+                              ORDER BY doc_id, chunk_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum_before
+                FROM chunks)
+            SELECT CAST(cum_before // 256 AS BIGINT) AS seq_id,
+                   count(*) AS n_chunks,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM scan GROUP BY 1
         """,
         "quality_scores": f"""
             SELECT doc_id,

@@ -1151,3 +1151,37 @@ class TestChunking:
         assert d4["n_tokens"].tolist() == [64, 64, 2]
         assert d4["chunk"].iloc[2] == "w128 w129"
         assert set(df["doc_id"]) == {3, 4}  # empty/null docs emit no chunks
+
+
+class TestPrefixScan:
+    def test_ordered_cumsum_vs_sequential(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.prefix import ordered_cumsum
+
+        rng = np.random.RandomState(3)
+        t = pa.table(
+            {
+                "k": pa.array(rng.permutation(500).astype("int64")),
+                "v": pa.array(rng.randint(1, 9, 500).astype("int64")),
+            }
+        )
+        df = (
+            ordered_cumsum(rd.from_arrow(t).repartition(7), ["k"], "v")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        exp = df["v"].cumsum().shift(1).fillna(0).astype("int64")
+        assert df["cum_before"].tolist() == exp.tolist()
+
+    def test_pack_sequences_layout_independent(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.prefix import pack_sequences
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        a = pack_sequences(docs.repartition(2), 256, 64).to_pandas().sort_values("seq_id").reset_index(drop=True)
+        b = pack_sequences(docs.repartition(9), 256, 64).to_pandas().sort_values("seq_id").reset_index(drop=True)
+        assert a.equals(b)
+        # every full sequence carries exactly seq_tokens... tokens per seq
+        # bounded by construction: cum-based assignment puts <= 256+63 tokens
+        assert (a["sum_tokens"] <= 256 + 63).all()
