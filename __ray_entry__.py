@@ -418,6 +418,14 @@ def _q_asof_lag(sf_dir: str):
     )
 
 
+def _q_user_running_value(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.temporal import running_sum
+
+    return running_sum(
+        _read(sf_dir, "events", ["ts", "user_id", "event_id", "value"])
+    )
+
+
 def _q_orders_range_join(sf_dir: str):
     from lmss_entity_extractor_ray.ops.temporal import range_join_within
 
@@ -643,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         "asof_lag": _q_asof_lag,
         "orders_range_join": _q_orders_range_join,
+        "user_running_value": _q_user_running_value,
         # grouped top-k
         "events_topk_by_type": _q_events_topk_by_type,
         # flagship curation composition (dedup -> quality -> sample)
@@ -932,6 +941,13 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
             ORDER BY a.event_id
+        """,
+        "user_running_value": """
+            SELECT event_id,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c2
+            FROM events
         """,
         "orders_range_join": """
             SELECT least(a.o_orderkey, b.o_orderkey) AS a,

@@ -118,6 +118,71 @@ def session_window_stats(
 
 
 # ---------------------------------------------------------------------------
+# per-entity running total (partitioned cumulative sum)
+# ---------------------------------------------------------------------------
+
+def running_sum(
+    events: rd.Dataset,
+    key: str = "user_id",
+    value: str = "value",
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Per-entity running total INCLUDING the current row — the
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, event_id)`` window.
+    Output: ``(event_id, running_c2)`` — the running total of the
+    c2-SCALED INT values (each value quantized to int64 cents first, then
+    summed in exact integer arithmetic).  Quantize-then-sum, not
+    sum-then-quantize: windowed float sums associate differently across
+    engines (numpy cumsum is sequential, DuckDB's window SUM is a segment
+    tree), so only integer totals are reproducible at every scale.
+
+    Same one-exchange shape as the session/as-of operators: an entity's
+    rows co-locate, each partition lexsorts once by (key, ts, event_id)
+    and runs ONE segmented cumsum (global cumsum minus the per-entity
+    prefix carried at each segment start) — no per-entity loop.  For a
+    GLOBAL (un-partitioned) scan use ops/prefix.ordered_cumsum."""
+    P = num_partitions or _partitions(events)
+
+    def scan(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "running_c2": pa.array([], pa.int64()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = col_np(group, key)
+        ts = _us(group, "ts")
+        eid = col_np(group, "event_id")
+        val = col_np(group, value)
+        order = np.lexsort((eid, ts, uid))
+        uid, val, eid = uid[order], val[order], eid[order]
+        val_c2 = np.floor(val * 100.0 + 0.5).astype(np.int64)
+        cum = np.cumsum(val_c2)
+        starts = np.concatenate(([0], np.nonzero(uid[1:] != uid[:-1])[0] + 1))
+        seg = np.zeros(n, dtype=np.int64)
+        seg[starts] = 1
+        seg_id = np.cumsum(seg) - 1
+        base = np.concatenate(([0], cum[starts[1:] - 1]))  # cum before each segment
+        running = cum - base[seg_id]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "running_c2": pa.array(running, pa.int64()),
+            }
+        )
+
+    cols = events.select_columns([key, "ts", "event_id", value])
+    return (
+        _with_part(cols, key, P)
+        .groupby("part")
+        .map_groups(scan, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------
 

@@ -1185,3 +1185,24 @@ class TestPrefixScan:
         # every full sequence carries exactly seq_tokens... tokens per seq
         # bounded by construction: cum-based assignment puts <= 256+63 tokens
         assert (a["sum_tokens"] <= 256 + 63).all()
+
+
+class TestRunningSum:
+    def test_running_sum_vs_duckdb(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.temporal import running_sum
+
+        ev = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["ts", "user_id", "event_id", "value"])
+        got = running_sum(ev).to_pandas().sort_values("event_id").reset_index(drop=True)
+        exp = duckdb.sql(
+            f"""SELECT event_id,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c2
+                FROM '{SF}/events.parquet' ORDER BY event_id"""
+        ).df()
+        assert got["running_c2"].tolist() == exp["running_c2"].tolist()
