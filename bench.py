@@ -132,7 +132,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "embedding_near_dup",
         "ann_topk",
         "events_topk_by_type",
+        "user_running_value",
         "tfidf_topk",
+        "packed_sequences",
         "orders_join_customer",
         "hash_sample",
         "stratified_sample_by_lang",

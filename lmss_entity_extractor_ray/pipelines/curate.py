@@ -55,9 +55,14 @@ def curate(
     min_tokens: int = 20,
     sample_per_lang: int = 25,
     seed: int = 42,
+    max_shingle_freq=None,
 ) -> rd.Dataset:
-    """documents(doc_id, text, lang) → curated (doc_id, lang) sample."""
-    pairs = ngram_jaccard_pairs(docs_ds, threshold=jaccard_threshold)
+    """documents(doc_id, text, lang) → curated (doc_id, lang) sample.
+    ``max_shingle_freq`` passes through to the pair join — set it on
+    boilerplate-heavy corpora (ops/dedup._pair_counts)."""
+    pairs = ngram_jaccard_pairs(
+        docs_ds, threshold=jaccard_threshold, max_shingle_freq=max_shingle_freq
+    )
     kept = keep_canonical(docs_ds, pairs)
     good = quality_gate(kept, min_chars=min_chars, min_tokens=min_tokens)
     return stratified_sample(good, stratum="lang", k=sample_per_lang, seed=seed)

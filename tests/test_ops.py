@@ -1206,3 +1206,20 @@ class TestRunningSum:
                 FROM '{SF}/events.parquet' ORDER BY event_id"""
         ).df()
         assert got["running_c2"].tolist() == exp["running_c2"].tolist()
+
+
+class TestPartitioning:
+    def test_shuffle_partitions_floor_and_ceiling(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.partitioning import (
+            cluster_cpus,
+            shuffle_partitions,
+        )
+
+        assert shuffle_partitions(None) == max(2, cluster_cpus())
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        # small file: CPU floor wins
+        assert shuffle_partitions(ds) == max(2, cluster_cpus())
+        # huge scale factor forces the data ceiling above the floor
+        assert shuffle_partitions(ds, scale=1e7) > max(2, cluster_cpus())
