@@ -33,6 +33,21 @@ from .partitioning import shuffle_partitions
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _key_hash(tbl: pa.Table, key: str) -> np.ndarray:
+    col = tbl.column(key)
+    if pa.types.is_integer(col.type):
+        return col_np(tbl, key, np.uint64)
+    import zlib
+
+    # string keys: crc32 per row — deterministic across processes, and the
+    # only per-row Python in the operator (integer keys stay vectorized)
+    return np.fromiter(
+        (zlib.crc32((s or "").encode("utf-8")) for s in col.to_pylist()),
+        dtype=np.uint64,
+        count=tbl.num_rows,
+    )
+
+
 def _scatter_shards(tbl: pa.Table, keys: Sequence[str], P: int) -> List[pa.Table]:
     if tbl.num_rows == 0:
         return [tbl] * P
@@ -41,7 +56,7 @@ def _scatter_shards(tbl: pa.Table, keys: Sequence[str], P: int) -> List[pa.Table
         for key in keys:
             # mix every key column; co-partitioning only needs the same
             # function on both sides
-            h = (h ^ col_np(tbl, key, np.uint64)) * _GOLD
+            h = (h ^ _key_hash(tbl, key)) * _GOLD
         part = (h % np.uint64(P)).astype(np.int64)
     order = np.argsort(part, kind="stable")
     t = tbl.take(pa.array(order, pa.int64()))

@@ -79,12 +79,48 @@ def term_df(tf_ds: rd.Dataset) -> rd.Dataset:
 
 
 def tfidf_topk(
-    docs_ds: rd.Dataset, k: int = 10, num_partitions: Optional[int] = None
+    docs_ds: rd.Dataset, k: int = 10, num_partitions: Optional[int] = None,
+    broadcast_vocab_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """Top-k terms per doc by tf/df (ties → term asc), with rank ``rn`` and
-    the e5-scaled score."""
+    the e5-scaled score.
+
+    Vocabularies up to ``broadcast_vocab_limit`` terms broadcast the df
+    table by block refs (index_in lookup per batch); open-web vocabularies
+    beyond it switch to a distributed hash_join on the term key — identical
+    scores either way (one df per term)."""
     tf = doc_term_tf(docs_ds).materialize()
-    df_refs = list(term_df(tf).to_arrow_refs())
+    df_ds = term_df(tf).materialize()
+    if df_ds.count() > broadcast_vocab_limit:
+        from .join import hash_join
+
+        joined = hash_join(tf, df_ds, on="term", num_partitions=num_partitions)
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "term": pa.array([], pa.string()),
+                     "score": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "term": batch.column("term"),
+                    "score": pa.array(
+                        col_np(batch, "tf", np.float64) / col_np(batch, "df", np.float64),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+        top = group_topk(
+            scored, key="doc_id", value="score", id_col="term", k=k,
+            num_partitions=num_partitions,
+        )
+        return top.map_batches(_finish_e5, batch_format="pyarrow")
+    df_refs = list(df_ds.to_arrow_refs())
 
     def _df_table(refs) -> Optional[pa.Table]:
         # once per worker process: fetch the df blocks (plasma-cached,
@@ -126,16 +162,16 @@ def tfidf_topk(
         scored, key="doc_id", value="score", id_col="term", k=k,
         num_partitions=num_partitions,
     )
+    return top.map_batches(_finish_e5, batch_format="pyarrow")
 
-    def finish(batch: pa.Table) -> pa.Table:
-        e5 = np.floor(col_np(batch, "score") * 100_000.0 + 0.5).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "term": batch.column("term"),
-                "tfidf_e5": pa.array(e5, pa.int64()),
-                "rn": batch.column("rn"),
-            }
-        )
 
-    return top.map_batches(finish, batch_format="pyarrow")
+def _finish_e5(batch: pa.Table) -> pa.Table:
+    e5 = np.floor(col_np(batch, "score") * 100_000.0 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "term": batch.column("term"),
+            "tfidf_e5": pa.array(e5, pa.int64()),
+            "rn": batch.column("rn"),
+        }
+    )

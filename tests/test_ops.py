@@ -1223,3 +1223,21 @@ class TestPartitioning:
         assert shuffle_partitions(ds) == max(2, cluster_cpus())
         # huge scale factor forces the data ceiling above the floor
         assert shuffle_partitions(ds, scale=1e7) > max(2, cluster_cpus())
+
+
+class TestTfidfJoinPath:
+    def test_join_path_equals_broadcast_path(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.tfidf import tfidf_topk
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        a = (
+            tfidf_topk(docs, k=5)
+            .to_pandas().sort_values(["doc_id", "rn"]).reset_index(drop=True)
+        )
+        b = (
+            tfidf_topk(docs, k=5, broadcast_vocab_limit=0)  # force the join path
+            .to_pandas().sort_values(["doc_id", "rn"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
