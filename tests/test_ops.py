@@ -1241,3 +1241,17 @@ class TestTfidfJoinPath:
             .to_pandas().sort_values(["doc_id", "rn"]).reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestJoinStringKey:
+    def test_string_key_join(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.join import hash_join
+
+        l = rd.from_arrow(pa.table({"t": pa.array(["x", "y", "z", "y"]),
+                                    "v": pa.array([1, 2, 3, 4], pa.int64())}))
+        r = rd.from_arrow(pa.table({"t": pa.array(["y", "z", "w"]),
+                                    "w": pa.array([20, 30, 40], pa.int64())}))
+        df = hash_join(l, r, on="t").to_pandas().sort_values(["t", "v"])
+        assert list(zip(df["t"], df["v"], df["w"])) == [("y", 2, 20), ("y", 4, 20), ("z", 3, 30)]
