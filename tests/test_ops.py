@@ -1255,3 +1255,27 @@ class TestJoinStringKey:
                                     "w": pa.array([20, 30, 40], pa.int64())}))
         df = hash_join(l, r, on="t").to_pandas().sort_values(["t", "v"])
         assert list(zip(df["t"], df["v"], df["w"])) == [("y", 2, 20), ("y", 4, 20), ("z", 3, 30)]
+
+
+class TestChunkReassembly:
+    def test_chunks_reassemble_to_token_stream(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.chunking import chunk_documents
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        df = (
+            chunk_documents(docs, 32)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+        )
+        joined = df.groupby("doc_id")["chunk"].agg(" ".join)
+        import pyarrow.parquet as pq
+
+        src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        for doc_id, text in zip(src.column("doc_id").to_pylist(), src.column("text").to_pylist()):
+            toks = (text or "").split()
+            if toks:
+                assert joined[doc_id] == " ".join(toks), doc_id
+            else:
+                assert doc_id not in joined.index
