@@ -32,10 +32,14 @@ from .arrow_np import col_np
 
 
 @ray.remote
-def _block_sum(t: pa.Table, value_col: str) -> int:
+def _block_meta(t: pa.Table, value_col: str, sort_keys: List[str]):
+    """(total, first_key_tuple, last_key_tuple) — the scan offsets plus the
+    evidence that block order == sort order."""
     if t.num_rows == 0:
-        return 0
-    return int(col_np(t, value_col).sum())
+        return 0, None, None
+    first = tuple(t.column(k)[0].as_py() for k in sort_keys)
+    last = tuple(t.column(k)[t.num_rows - 1].as_py() for k in sort_keys)
+    return int(col_np(t, value_col).sum()), first, last
 
 
 @ray.remote
@@ -59,7 +63,23 @@ def ordered_cumsum(
     deterministic up to ties)."""
     sorted_ds = ds.sort(list(sort_keys)).materialize()
     refs = sorted_ds.to_arrow_refs()  # ordered partitions, in order
-    totals = ray.get([_block_sum.remote(r, value_col) for r in refs])
+    metas = ray.get(
+        [_block_meta.remote(r, value_col, list(sort_keys)) for r in refs]
+    )
+    totals = [m[0] for m in metas]
+    # the scan is only correct if the materialized sort's blocks really are
+    # range-ordered — verify the boundary invariant instead of assuming it
+    # (one tuple per block; cost is O(blocks))
+    prev_last = None
+    for total, first, last in metas:
+        if first is None:
+            continue
+        if prev_last is not None and first < prev_last:
+            raise AssertionError(
+                "ordered_cumsum: sorted Dataset blocks are not in key order "
+                f"(block starts at {first} before previous block end {prev_last})"
+            )
+        prev_last = last
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
     out = [
         _add_cum.remote(r, value_col, out_col, int(offsets[i]))
