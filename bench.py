@@ -129,6 +129,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "minhash_near_dup",
         "ngram_jaccard_pairs",
         "dup_clusters",
+        "curation_pipeline",
         "embedding_near_dup",
         "ann_topk",
         "events_topk_by_type",
