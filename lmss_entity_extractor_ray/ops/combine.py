@@ -44,6 +44,7 @@ def combine_partials(
     aggs: Sequence[AggSpec],
     combine_every: int = 200_000,
     max_groups: int = 2_000_000,
+    schema: Optional[pa.Schema] = None,
 ) -> pa.Table:
     """Fold a Dataset of map-side partial-aggregate rows into the final
     grouped table on the driver.  Exact for associative merges regardless of
@@ -62,7 +63,10 @@ def combine_partials(
         return t.group_by(keys).aggregate(plan).rename_columns(keys + cols)
 
     acc: Optional[pa.Table] = None
+    seen_schema: Optional[pa.Schema] = None
     for b in partials.iter_batches(batch_format="pyarrow"):
+        if seen_schema is None:
+            seen_schema = b.schema  # zero-row batches still carry types
         if b.num_rows == 0:
             continue
         part = b.select(keys + cols)
@@ -75,9 +79,49 @@ def combine_partials(
                     "key is not bounded-cardinality; use the distributed "
                     "groupby path instead"
                 )
+    out_names = keys + [o for _, _, o in aggs]
     if acc is None:
-        return pa.table({n: pa.array([], pa.null()) for n in keys + [o for _, _, o in aggs]})
-    return fold(acc).rename_columns(keys + [o for _, _, o in aggs])
+        # Correctly TYPED empty result — null-typed columns would crash
+        # downstream sort/cast and break oracle schema comparison on empty
+        # inputs.  Preference order: a streamed batch's schema (an empty
+        # Dataset yields NO batches, so this rarely fires) → the caller's
+        # explicit schema → ds.schema() (may re-execute the emptied
+        # pipeline once — fine, the empty case is the rare one) → null.
+        if seen_schema is None and schema is not None:
+            seen_schema = schema
+        if seen_schema is None:
+            try:
+                sch = partials.schema()
+                if sch is not None and sch.names:
+                    seen_schema = pa.schema(
+                        [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+                    )
+            except Exception:
+                seen_schema = None
+        if seen_schema is not None:
+            typed = {}
+            for n, src in zip(out_names, keys + cols):
+                f = seen_schema.field(src) if seen_schema.get_field_index(src) >= 0 else None
+                typed[n] = pa.array([], f.type if f is not None else pa.null())
+            return pa.table(typed)
+        return pa.table({n: pa.array([], pa.null()) for n in out_names})
+    return fold(acc).rename_columns(out_names)
+
+
+def col_type(ds: rd.Dataset, col: str, default: pa.DataType = None) -> pa.DataType:
+    """Best-effort Arrow type of ``col`` from dataset METADATA only (no
+    execution) — for building the typed empty-result schema passed to
+    ``combine_partials``.  Falls back to ``default`` (string) when the
+    schema isn't metadata-known (e.g. behind a map/filter)."""
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+        if sch is not None:
+            m = dict(zip(sch.names, sch.types))
+            if col in m:
+                return m[col]
+    except Exception:
+        pass
+    return default if default is not None else pa.string()
 
 
 def sort_table(t: pa.Table, sort_keys: List[Tuple[str, str]]) -> pa.Table:

@@ -383,14 +383,17 @@ _WS_ASCII_RE = None
 
 
 def exact_tokens(text: str) -> List[str]:
-    """RE2-compatible whitespace tokenization ([ \\t\\n\\r\\f\\v]+, lowercased)
+    """RE2-compatible whitespace tokenization ([ \\t\\n\\f\\r]+, lowercased)
     — matches DuckDB's regexp_split_to_array(lower(text), '\\s+') with empty
-    tokens filtered, so the SQL oracle tokenizes identically."""
+    tokens filtered, so the SQL oracle tokenizes identically.  NOTE: RE2's
+    \\s excludes vertical tab (\\x0b) while Python's ASCII \\s includes it,
+    so the class is spelled out (a \\v-bearing doc would otherwise tokenize
+    differently on the two sides)."""
     global _WS_ASCII_RE
     if _WS_ASCII_RE is None:
         import re
 
-        _WS_ASCII_RE = re.compile(r"\s+", re.ASCII)
+        _WS_ASCII_RE = re.compile(r"[ \t\n\f\r]+")
     return [t for t in _WS_ASCII_RE.split((text or "").lower()) if t]
 
 
@@ -863,7 +866,7 @@ def embedding_near_dup_pairs(emb_ds: rd.Dataset, threshold: float = 0.95) -> rd.
 
     refs = pairwise_block_refs(emb_ds)
     tiles = [
-        _pairs_tile.remote(refs[i], refs[j], threshold)
+        _pairs_tile.remote(refs[i], refs[j], threshold, i == j)
         for i in range(len(refs))
         for j in range(i, len(refs))
     ]

@@ -189,6 +189,7 @@ def connected_components(
         e, l = _cc_build.remote(*[shards[p] for shards in shard_lists])
         edges.append(e)
         labels.append(l)
+    converged = False
     for _ in range(max_iters):
         msg_lists = [
             _cc_messages.options(num_returns=P).remote(edges[p], labels[p], P)
@@ -202,7 +203,17 @@ def connected_components(
             changed_refs.append(ch)
         labels = new_labels
         if sum(ray.get(changed_refs)) == 0:
+            converged = True
             break
+    if not converged:
+        # hash-to-min needs O(diameter) waves; a dup chain longer than
+        # max_iters would otherwise silently yield WRONG cluster labels
+        # (and keep_canonical would then keep/drop the wrong documents)
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iters} BSP "
+            f"iterations — component diameter exceeds max_iters; rerun with "
+            f"a larger max_iters"
+        )
     return rd.from_arrow_refs(
         [_cc_finish.remote(labels[p], node_name, cluster_name) for p in range(P)]
     )
@@ -210,12 +221,14 @@ def connected_components(
 
 def dup_clusters(
     pairs_ds: rd.Dataset, a: str = "a", b: str = "b",
-    num_partitions: Optional[int] = None,
+    num_partitions: Optional[int] = None, max_iters: int = 64,
 ) -> rd.Dataset:
     """Near-dup clusters from a pair list: (doc_id, cluster_id = min
     reachable doc_id).  Docs with no near-duplicate don't appear (they are
     their own cluster implicitly)."""
-    return connected_components(pairs_ds, a=a, b=b, num_partitions=num_partitions)
+    return connected_components(
+        pairs_ds, a=a, b=b, num_partitions=num_partitions, max_iters=max_iters
+    )
 
 
 def keep_canonical(

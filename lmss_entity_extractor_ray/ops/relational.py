@@ -29,7 +29,7 @@ import ray
 import ray.data as rd
 
 
-from .combine import combine_partials, sort_table
+from .combine import col_type, combine_partials, sort_table
 
 
 def scaled_int(col: pa.ChunkedArray, scale: int) -> pa.ChunkedArray:
@@ -102,6 +102,11 @@ def pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:
         ["l_returnflag", "l_linestatus"],
         [("p_qty", "sum", "sum_qty"), ("p_base", "sum", "sum_base_price"),
          ("p_disc", "sum", "sum_disc_price"), ("p_cnt", "sum", "count_order")],
+        schema=pa.schema(
+            [("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+             ("p_qty", pa.float64()), ("p_base", pa.float64()),
+             ("p_disc", pa.float64()), ("p_cnt", pa.int64())]
+        ),
     )
     final = sort_table(
         finalize(final), [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
@@ -231,6 +236,11 @@ def events_by_type(events: rd.Dataset) -> rd.Dataset:
         ["event_type"],
         [("p_n", "sum", "n"), ("p_sum", "sum", "sum_value"),
          ("p_min", "min", "min_value"), ("p_max", "max", "max_value")],
+        schema=pa.schema(
+            [("event_type", col_type(events, "event_type")),
+             ("p_n", pa.int64()), ("p_sum", pa.float64()),
+             ("p_min", pa.float64()), ("p_max", pa.float64())]
+        ),
     )
     final = sort_table(final, [("event_type", "ascending")])
     # min/max are raw pass-through doubles (identical parquet bits on both
@@ -289,6 +299,9 @@ def supplier_balance_by_nation(supplier: rd.Dataset, nation: rd.Dataset) -> rd.D
         supplier.map_batches(partial, batch_format="pyarrow"),
         ["n_name"],
         [("p_n", "sum", "n_suppliers"), ("p_bal", "sum", "total_bal")],
+        schema=pa.schema(
+            [("n_name", pa.string()), ("p_n", pa.int64()), ("p_bal", pa.float64())]
+        ),
     )
     final = sort_table(final, [("n_name", "ascending")])
     idx = final.column_names.index("total_bal")

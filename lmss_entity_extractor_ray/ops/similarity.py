@@ -104,7 +104,15 @@ def pairwise_block_refs(emb_ds: rd.Dataset):
 
 
 @ray.remote
-def _pairs_tile(t1: pa.Table, t2: pa.Table, threshold: float) -> pa.Table:
+def _pairs_tile(t1: pa.Table, t2: pa.Table, threshold: float, same: bool) -> pa.Table:
+    """One tile of the all-pairs cosine cross product.
+
+    Diagonal tiles (same=True) see each unordered within-block pair twice
+    (plus self-pairs), so they filter to a < b.  Off-diagonal tiles see each
+    cross-block pair exactly ONCE — tile (j, i) is never scheduled — so they
+    must emit every qualifying pair, normalized to (min, max); filtering
+    a < b there would silently drop pairs whenever block ids are not
+    globally ascending (filtered / shuffled / unioned inputs)."""
     ids1, u1 = _ids_unit(t1)
     ids2, u2 = _ids_unit(t2)
     if not len(ids1) or not len(ids2):
@@ -113,12 +121,18 @@ def _pairs_tile(t1: pa.Table, t2: pa.Table, threshold: float) -> pa.Table:
     cos = u1 @ u2.T
     ii, jj = np.nonzero(cos >= threshold)
     a, b = ids1[ii], ids2[jj]
-    keep = a < b  # each unordered pair exactly once; drops self-pairs too
+    if same:
+        keep = a < b  # each unordered pair exactly once; drops self-pairs too
+        a, b, scores = a[keep], b[keep], cos[ii, jj][keep]
+    else:
+        keep = a != b  # disjoint-id contract; drop pathological dup ids
+        a, b, scores = a[keep], b[keep], cos[ii, jj][keep]
+        a, b = np.minimum(a, b), np.maximum(a, b)
     return pa.table(
         {
-            "a": pa.array(a[keep], pa.int64()),
-            "b": pa.array(b[keep], pa.int64()),
-            "cos_e5": pa.array(_e5(cos[ii, jj][keep]), pa.int64()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "cos_e5": pa.array(_e5(scores), pa.int64()),
         }
     )
 

@@ -241,8 +241,9 @@ def normalize_for_fingerprint(text: str) -> str:
     batch path does the same transform in Arrow kernels."""
     import re
 
-    # re.ASCII pins \s to [ \t\n\r\f\v] — the RE2 set Arrow/DuckDB use
-    return re.sub(r"\s+", " ", (text or "").lower(), flags=re.ASCII).strip(" ")
+    # explicit class: RE2's \s (Arrow/DuckDB) is [ \t\n\f\r] — NO \v,
+    # unlike Python's ASCII \s
+    return re.sub(r"[ \t\n\f\r]+", " ", (text or "").lower()).strip(" ")
 
 
 def fingerprint_text(text: str) -> str:

@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .combine import combine_partials, sort_table
+from .combine import col_type, combine_partials, sort_table
 
 
 def tumbling_window_agg(
@@ -56,6 +56,10 @@ def tumbling_window_agg(
         events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         ["window_start", key],
         [("p_n", "sum", "n"), ("p_sum", "sum", "sum_value")],
+        schema=pa.schema(
+            [("window_start", pa.string()), (key, col_type(events, key)),
+             ("p_n", pa.int64()), ("p_sum", pa.float64())]
+        ),
     )
     final = sort_table(finalize(final), [("window_start", "ascending"), (key, "ascending")])
     return rd.from_arrow(final)
@@ -116,6 +120,10 @@ def sliding_window_agg(
         events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         ["window_start", key],
         [("p_n", "sum", "n"), ("p_sum", "sum", "sum_value")],
+        schema=pa.schema(
+            [("window_start", pa.string()), (key, col_type(events, key)),
+             ("p_n", pa.int64()), ("p_sum", pa.float64())]
+        ),
     )
     final = sort_table(
         finalize(final), [("window_start", "ascending"), (key, "ascending")]

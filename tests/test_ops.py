@@ -1279,3 +1279,173 @@ class TestChunkReassembly:
                 assert joined[doc_id] == " ".join(toks), doc_id
             else:
                 assert doc_id not in joined.index
+
+
+# ---------------------------------------------------------------------------
+# round-3 advisor regressions
+# ---------------------------------------------------------------------------
+
+class TestAdviceRegressions:
+    def test_embedding_near_dup_nonascending_blocks(self, ray_session, emb_tbl):
+        """Off-diagonal pair tiles must not assume globally ascending vec_ids
+        across blocks: reverse the row order (high ids land in early blocks)
+        and the pair set must still equal brute force."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import embedding_near_dup_pairs
+
+        rev = emb_tbl.take(list(range(emb_tbl.num_rows - 1, -1, -1)))
+        ds = rd.from_arrow(rev).repartition(6)
+        got = embedding_near_dup_pairs(ds, threshold=0.4).to_pandas()
+        got_pairs = set(zip(got["a"].tolist(), got["b"].tolist()))
+        ids = np.array(emb_tbl.column("vec_id").to_pylist())
+        mat = np.array(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = unit @ unit.T
+        truth = set()
+        n = len(ids)
+        for i in range(n):
+            for j in range(n):
+                if ids[i] < ids[j] and cos[i, j] >= 0.4:
+                    truth.add((int(ids[i]), int(ids[j])))
+        assert got_pairs == truth
+
+    def test_minhash_short_docs_not_false_dups(self, ray_session):
+        """Distinct sub-shingle_k-token docs must never pair; empty /
+        whitespace-only docs are identical under normalization and pair at
+        J=1.0 (the jaccard(∅,∅)=1 convention shared with the brute-force
+        oracle)."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import (
+            brute_force_jaccard_pairs,
+            near_dup_pairs_minhash,
+        )
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+                "text": [
+                    "alpha beta",        # sub-k, distinct
+                    "gamma delta",       # sub-k, distinct
+                    "",                  # empty
+                    "   \t ",            # whitespace-only → no tokens
+                    "alpha beta",        # exact dup of 1
+                    "one two three four five",
+                    "one two three four six",
+                ],
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(3)
+        got = near_dup_pairs_minhash(ds, threshold=0.5, shingle_k=3).to_pandas()
+        got_pairs = {
+            (a, b, round(j, 5))
+            for a, b, j in zip(got["a"], got["b"], got["jaccard"])
+        }
+        truth = set(brute_force_jaccard_pairs(tbl, 0.5, shingle_k=3))
+        assert got_pairs == truth
+        # explicitly: the two distinct 2-token docs are NOT a pair
+        assert not any(a == 1 and b == 2 for a, b, _ in got_pairs)
+        # and the empty/whitespace docs ARE (identical normalized text)
+        assert (3, 4, 1.0) in got_pairs
+
+    def test_combine_partials_empty_input_keeps_types(self, ray_session):
+        """Zero-row partials must yield a correctly TYPED empty table (not
+        null-typed columns that crash downstream sort/cast)."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.combine import combine_partials, sort_table
+
+        tbl = pa.table(
+            {
+                "k": pa.array([], pa.string()),
+                "s": pa.array([], pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(tbl)
+        out = combine_partials(ds, keys=["k"], aggs=[("s", "sum", "total")])
+        assert out.num_rows == 0
+        assert out.schema.field("k").type == pa.string()
+        assert out.schema.field("total").type == pa.int64()
+        # downstream sort on the empty typed table must not raise
+        sort_table(out, [("total", "descending")])
+
+        # a filter-emptied dataset has NO recoverable schema in Ray — the
+        # caller's explicit schema= covers it
+        tbl2 = pa.table({"k": ["a", "b"], "s": pa.array([1, 2], pa.int64())})
+        ds2 = rd.from_arrow(tbl2).filter(lambda r: False)
+        out2 = combine_partials(
+            ds2, keys=["k"], aggs=[("s", "sum", "total")],
+            schema=pa.schema([("k", pa.string()), ("s", pa.int64())]),
+        )
+        assert out2.num_rows == 0
+        assert out2.schema.field("k").type == pa.string()
+        assert out2.schema.field("total").type == pa.int64()
+
+    def test_window_aggs_on_emptied_input(self, ray_session):
+        """Every coordinator-merged query must survive an input filtered to
+        zero rows with its non-empty schema (oracle comparison on empty
+        inputs)."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.relational import events_by_type
+        from lmss_entity_extractor_ray.ops.windows import (
+            sliding_window_agg,
+            tumbling_window_agg,
+        )
+
+        events = rd.read_parquet(f"{SF}/events.parquet")
+        nonempty = tumbling_window_agg(events).schema()
+        emptied = events.filter(expr="value < -1e18")
+        for fn in (tumbling_window_agg, sliding_window_agg, events_by_type):
+            out = fn(emptied)
+            assert out.count() == 0
+        got = tumbling_window_agg(emptied).schema()
+        assert got.names == nonempty.names
+        assert [str(t) for t in got.types] == [str(t) for t in nonempty.types]
+
+    def test_cc_raises_when_unconverged(self, ray_session):
+        """A component with diameter > max_iters must fail loudly, never
+        silently emit wrong cluster labels."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import connected_components
+
+        n = 12  # chain 0-1-...-11
+        pairs = pa.table(
+            {
+                "a": pa.array(list(range(n - 1)), pa.int64()),
+                "b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(pairs)
+        with pytest.raises(RuntimeError, match="not converged"):
+            connected_components(ds, max_iters=1).to_pandas()
+        # and with enough iterations the chain resolves to one component
+        df = connected_components(rd.from_arrow(pairs)).to_pandas()
+        assert set(df["cluster_id"]) == {0}
+        assert len(df) == n
+
+    def test_exact_tokens_vtab_matches_re2(self, ray_session):
+        """RE2's \\s excludes vertical tab; the Python tokenizer and
+        fingerprint normalizer must agree with Arrow/DuckDB on \\v docs."""
+        import duckdb
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens
+        from lmss_entity_extractor_ray.ops.text_ops import (
+            fingerprint_batch,
+            fingerprint_text,
+            normalize_for_fingerprint,
+        )
+
+        doc = "Alpha\x0bBeta\tGamma  Delta\x0b"
+        sql = duckdb.sql(
+            "select list_filter(regexp_split_to_array(lower(?), '\\s+'), t -> t != '')",
+            params=[doc],
+        ).fetchone()[0]
+        assert exact_tokens(doc) == sql
+        # normalizer: single-string helper == Arrow batch kernel on \v text
+        batch = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [doc]})
+        arrow_fp = fingerprint_batch(batch).column("fingerprint")[0].as_py()
+        assert fingerprint_text(doc) == arrow_fp
+        assert "\x0b" in normalize_for_fingerprint(doc)
