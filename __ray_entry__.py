@@ -343,6 +343,77 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
 
 
+def _q_regex_redact(sf_dir: str):
+    """PII-scrubbing shape: RE2 redaction + match count + digest of the
+    scrubbed text (the pattern fires on the synthetic vocabulary; production
+    uses EMAIL_RE / PHONE_RE / IPV4_RE from the same module)."""
+    from lmss_entity_extractor_ray.ops.text_ops import regex_redact
+
+    return regex_redact(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        pattern=r"\b(customer|supplier)\b",
+        replacement="<X>",
+    )
+
+
+def _q_repetition_stats(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.repetition import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the deterministic 'eval set' is doc_id %
+    101 == 7; training docs sharing any 3-gram with it are dropped (the
+    benchmark docs themselves are excluded from the output)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lmss_entity_extractor_ray.ops.arrow_np import col_np
+    from lmss_entity_extractor_ray.ops.decontam import decontaminate
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(col_np(batch, "doc_id") % 101 == 7))
+
+    def train_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(col_np(batch, "doc_id") % 101 != 7))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bench_only, batch_format="pyarrow"
+    )
+    train = docs.map_batches(train_only, batch_format="pyarrow")
+    return decontaminate(train, bench, shingle_k=3, keep_cols=["doc_id", "lang"])
+
+
+def _q_docs_per_source_cap(sf_dir: str):
+    """Per-domain document cap (the Common-Crawl 'at most N pages per host'
+    rule): keep each source's top-10 docs by length."""
+    from lmss_entity_extractor_ray.ops.topk import group_topk
+
+    return group_topk(
+        _read(sf_dir, "documents", ["source", "n_chars", "doc_id"]),
+        key="source", value="n_chars", id_col="doc_id", k=10,
+    )
+
+
+def _q_ann_topk_multi(sf_dir: str):
+    """Batched retrieval: top-k for the 5 lowest-id vectors at once."""
+    from lmss_entity_extractor_ray.ops.similarity import multi_query_topk
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t.column("vec_id").to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])[:5]
+    queries = [(ids[i], t.column("embedding")[i].as_py()) for i in order]
+    return multi_query_topk(_read(sf_dir, "embeddings"), queries, k=10)
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.similarity import kmeans_assign
+
+    return kmeans_assign(_read(sf_dir, "embeddings"), n_centroids=8, seed=17)
+
+
 def _q_events_topk_by_type(sf_dir: str):
     from lmss_entity_extractor_ray.ops.topk import group_topk
 
@@ -631,6 +702,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "regex_redact": _q_regex_redact,
+        "repetition_stats": _q_repetition_stats,
+        # decontamination + per-domain caps (web-corpus curation rules)
+        "decontaminate": _q_decontaminate,
+        "docs_per_source_cap": _q_docs_per_source_cap,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "exact_dedup_fulltext": _q_exact_dedup_fulltext,
@@ -642,9 +718,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         # similarity search
         "ann_topk": _q_ann_topk,
+        "ann_topk_multi": _q_ann_topk_multi,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "knn_top1": _q_knn_top1,
+        "kmeans_clusters": _q_kmeans_clusters,
         # event-time windowed aggregates + temporal joins
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
@@ -818,6 +896,87 @@ def oracle_sql() -> dict[str, str]:
                    sha256(trim(regexp_replace(lower(coalesce(text, '')),
                                               '\\s+', ' ', 'g'), ' ')) AS fingerprint
             FROM documents
+        """,
+        "regex_redact": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                                               '\\b(customer|supplier)\\b'))
+                        AS BIGINT) AS n_redacted,
+                   sha256(regexp_replace(coalesce(text, ''),
+                                         '\\b(customer|supplier)\\b', '<X>', 'g'))
+                       AS redacted_sha256
+            FROM documents
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS c
+                   FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+            ts AS (SELECT doc_id, SUM(c) AS nt, MAX(c) AS mx, COUNT(*) AS nd
+                   FROM tf GROUP BY doc_id),
+            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                   FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+                   WHERE len(t) >= 2),
+            bgc AS (SELECT doc_id, count(*) AS tot, count(DISTINCT b) AS dst
+                    FROM bg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(ts.nt, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(floor(ts.nd * 1.0 / ts.nt * 100000 + 0.5), 0)
+                        AS BIGINT) AS distinct_token_frac_e5,
+                   CAST(COALESCE(floor(ts.mx * 1.0 / ts.nt * 100000 + 0.5), 0)
+                        AS BIGINT) AS top_token_frac_e5,
+                   CAST(COALESCE(floor((1.0 - bgc.dst * 1.0 / bgc.tot) * 100000 + 0.5), 0)
+                        AS BIGINT) AS dup_bigram_frac_e5
+            FROM documents d
+            LEFT JOIN ts USING (doc_id)
+            LEFT JOIN bgc USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                WHERE len(t) >= 3),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 101 = 7),
+            contam AS (SELECT DISTINCT doc_id FROM sh
+                       WHERE s IN (SELECT s FROM bench))
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id % 101 <> 7
+              AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+        """,
+        "docs_per_source_cap": """
+            SELECT source, n_chars, doc_id, rn FROM (
+                SELECT source, n_chars, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 10
+        """,
+        "ann_topk_multi": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings ORDER BY vec_id LIMIT 5)
+            SELECT query_id, vec_id, cos_e5, rn FROM (
+                SELECT q.query_id, e2.vec_id,
+                       CAST(floor(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
+                                                         q.e) * 100000 + 0.5)
+                            AS BIGINT) AS cos_e5,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY CAST(floor(list_cosine_similarity(
+                                        CAST(e2.embedding AS DOUBLE[]), q.e)
+                                        * 100000 + 0.5) AS BIGINT) DESC,
+                                    e2.vec_id) AS rn
+                FROM embeddings e2, q)
+            WHERE rn <= 10
         """,
         "exact_dedup": f"""
             SELECT array_to_string(({_TOKENS})[1:5], ' ') AS dedup_key,

@@ -65,6 +65,94 @@ def brute_force_topk(emb_ds: rd.Dataset, query: Sequence[float], k: int = 10) ->
     )
 
 
+def multi_query_topk(
+    emb_ds: rd.Dataset, queries: Sequence[tuple], k: int = 10
+) -> rd.Dataset:
+    """Exact cosine top-k for MANY queries at once: broadcast the query
+    matrix via ``ray.put``, each batch is ONE [rows, n_queries] matmul, each
+    (block, query) keeps its local top-k by the FINAL ordering key
+    (cos_e5 desc, vec_id asc), and the global per-query merge is a grouped
+    top-k over only k × blocks × n_queries candidate rows (ops/topk.py — one
+    bounded exchange, never the corpus).
+
+    ``queries``: sequence of (query_id, vector).  This is the realistic
+    batched-retrieval shape — per-query work amortizes the corpus scan."""
+    from .topk import group_topk
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = np.stack([_unit(np.asarray(q[1], dtype=np.float64)) for q in queries])
+    q_ref = ray.put((qids, qmat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, qm = ray.get(q_ref)
+        ids = col_np(batch, "vec_id")
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos_e5": pa.array([], pa.int64()),
+            }
+        )
+        if not len(ids):
+            return empty
+        mat = emb_np(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        # same float formula as brute_force_topk: (mat @ q) / norms
+        cos = (mat @ qm.T) / norms[:, None]  # [rows, n_queries]
+        e5 = _e5(cos)
+        take = min(k, len(ids))
+        out_q, out_v, out_c = [], [], []
+        for j in range(len(ids_q)):
+            # local selection uses the FINAL key (e5 desc, vec_id asc) so a
+            # block never drops a row the global tie-break would have kept
+            order = np.lexsort((ids, -e5[:, j]))[:take]
+            out_q.append(np.full(take, ids_q[j], dtype=np.int64))
+            out_v.append(ids[order])
+            out_c.append(e5[order, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos_e5": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    cands = emb_ds.map_batches(local_topk, batch_format="pyarrow")
+    return group_topk(cands, key="query_id", value="cos_e5", id_col="vec_id", k=k)
+
+
+def kmeans_assign(
+    emb_ds: rd.Dataset, n_centroids: int = 8, seed: int = 17
+) -> rd.Dataset:
+    """(vec_id, cluster_id): nearest spherical-k-means centroid per vector —
+    the clustering primitive behind semantic dedup / diversity balancing.
+    Centroids train on a layout-independent bottom-k hash sample
+    (``ivf_centroids``), broadcast once; assignment is one matmul+argmax per
+    batch.  Deterministic for a fixed seed regardless of partitioning."""
+    cents = ivf_centroids(emb_ds, n_centroids=n_centroids, seed=seed)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cents_ref)
+        ids = col_np(batch, "vec_id")
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64())})
+        mat = emb_np(batch)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        a = np.argmax((mat / norms) @ cs.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(a, pa.int64()),
+            }
+        )
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # exact pairwise kernels via block-pair tiling
 # ---------------------------------------------------------------------------

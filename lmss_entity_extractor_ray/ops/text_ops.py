@@ -273,3 +273,47 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprints(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# regex redaction (PII scrubbing shape)
+# ---------------------------------------------------------------------------
+# Production patterns for a web corpus; the contract query instance uses a
+# pattern that actually fires on the synthetic tables (the mechanism is what
+# is under test — both engines run the SAME RE2 pattern).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def regex_redact(
+    ds: rd.Dataset, pattern: str, replacement: str = "<REDACTED>"
+) -> rd.Dataset:
+    """Replace every RE2 ``pattern`` match in ``text`` and report per doc:
+    (doc_id, n_redacted, redacted_sha256).
+
+    The match count and the replacement both run as single Arrow RE2
+    kernels over the whole batch; the digest is C-speed hashlib.  Arrow and
+    DuckDB share RE2, so ``len(regexp_extract_all(...))`` +
+    ``sha256(regexp_replace(..., 'g'))`` is an exact SQL oracle.  Shipping
+    the digest instead of the scrubbed text keeps the contract result
+    small; production pipelines keep the redacted column instead."""
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        n = pc.count_substring_regex(text, pattern).cast(pa.int64())
+        red = pc.replace_substring_regex(text, pattern, replacement)
+        sha = pa.array(
+            [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in red.to_pylist()],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_redacted": n,
+                "redacted_sha256": sha,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

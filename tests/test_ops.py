@@ -1449,3 +1449,151 @@ class TestAdviceRegressions:
         arrow_fp = fingerprint_batch(batch).column("fingerprint")[0].as_py()
         assert fingerprint_text(doc) == arrow_fp
         assert "\x0b" in normalize_for_fingerprint(doc)
+
+
+# ---------------------------------------------------------------------------
+# round-3 ops: redaction, repetition stats, decontamination, multi-query ANN,
+# k-means assignment
+# ---------------------------------------------------------------------------
+
+class TestRound3Ops:
+    def test_regex_redact_vs_duckdb(self, ray_session, docs_ds):
+        import duckdb
+
+        from lmss_entity_extractor_ray.ops.text_ops import regex_redact
+
+        pat = r"\b(customer|supplier)\b"
+        got = (
+            regex_redact(docs_ds, pattern=pat, replacement="<X>")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text,''), '{pat}')) AS BIGINT)
+                       AS n_redacted,
+                   sha256(regexp_replace(coalesce(text,''), '{pat}', '<X>', 'g'))
+                       AS redacted_sha256
+                FROM '{SF}/documents.parquet' ORDER BY doc_id"""
+        ).df()
+        assert got["n_redacted"].tolist() == exp["n_redacted"].tolist()
+        assert got["redacted_sha256"].tolist() == exp["redacted_sha256"].tolist()
+        assert got["n_redacted"].sum() > 0  # the pattern actually fires
+
+    def test_repetition_stats_edge_cases(self, ray_session):
+        """Hand-computed oracle over pathological docs (empty, whitespace,
+        single token, all-same, all-distinct)."""
+        from collections import Counter
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens
+        from lmss_entity_extractor_ray.ops.repetition import repetition_stats
+
+        texts = ["a b a b a", "", "x", "hello world hello world", "   ",
+                 "one two three", "a a a a", "Tab\there\tand  spaces"]
+        ids = list(range(1, len(texts) + 1))
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+        got = (
+            repetition_stats(rd.from_arrow(tbl).repartition(3))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+
+        def e5(x):
+            return int(np.floor(x * 100000 + 0.5))
+
+        for d, t in zip(ids, texts):
+            toks = exact_tokens(t)
+            nt = len(toks)
+            c = Counter(toks)
+            bgs = [" ".join(toks[j : j + 2]) for j in range(nt - 1)]
+            assert got.loc[d, "n_tokens"] == nt
+            assert got.loc[d, "distinct_token_frac_e5"] == (e5(len(c) / nt) if nt else 0)
+            assert got.loc[d, "top_token_frac_e5"] == (e5(max(c.values()) / nt) if nt else 0)
+            assert got.loc[d, "dup_bigram_frac_e5"] == (
+                e5(1 - len(set(bgs)) / len(bgs)) if bgs else 0
+            )
+
+    def test_decontaminate_vs_bruteforce(self, ray_session, docs_ds, docs_tbl):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.decontam import decontaminate
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens
+
+        k = 3
+        ids = docs_tbl.column("doc_id").to_pylist()
+        txts = docs_tbl.column("text").to_pylist()
+        sh = {}
+        for d, s in zip(ids, txts):
+            toks = exact_tokens(s)
+            sh[d] = (
+                {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                if len(toks) >= k
+                else set()
+            )
+        bench_ids = {d for d in ids if d % 7 == 3}
+        bench_sh = set().union(*(sh[d] for d in bench_ids)) if bench_ids else set()
+        expect = sorted(
+            d for d in ids if d not in bench_ids and not (sh[d] & bench_sh)
+        )
+
+        bench_tbl = docs_tbl.filter(
+            pa.array([d in bench_ids for d in ids])
+        )
+        train_tbl = docs_tbl.filter(pa.array([d not in bench_ids for d in ids]))
+        got = decontaminate(
+            rd.from_arrow(train_tbl).repartition(4),
+            rd.from_arrow(bench_tbl),
+            shingle_k=k,
+        ).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == expect
+
+    def test_multi_query_topk_vs_bruteforce(self, ray_session, emb_ds, emb_tbl):
+        from lmss_entity_extractor_ray.ops.similarity import multi_query_topk
+
+        ids = np.array(emb_tbl.column("vec_id").to_pylist())
+        mat = np.array(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)[:3]
+        queries = [(int(ids[i]), mat[i]) for i in order]
+        got = (
+            multi_query_topk(emb_ds, queries, k=5)
+            .to_pandas()
+            .sort_values(["query_id", "rn"])
+            .reset_index(drop=True)
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        for qid, qv in queries:
+            qn = qv / np.linalg.norm(qv)
+            cos = (mat @ qn) / norms
+            e5 = np.floor(cos * 100_000 + 0.5).astype(np.int64)
+            o = np.lexsort((ids, -e5))[:5]
+            sub = got[got["query_id"] == qid]
+            assert sub["vec_id"].tolist() == [int(ids[i]) for i in o]
+            assert sub["cos_e5"].tolist() == [int(e5[i]) for i in o]
+            assert sub["rn"].tolist() == [1, 2, 3, 4, 5]
+
+    def test_kmeans_assign_layout_independent(self, ray_session, emb_ds, emb_tbl):
+        from lmss_entity_extractor_ray.ops.similarity import ivf_centroids, kmeans_assign
+
+        a = kmeans_assign(emb_ds, n_centroids=8, seed=17).to_pandas()
+        b = (
+            kmeans_assign(emb_ds.repartition(7), n_centroids=8, seed=17)
+            .to_pandas()
+        )
+        am = dict(zip(a["vec_id"], a["cluster_id"]))
+        bm = dict(zip(b["vec_id"], b["cluster_id"]))
+        assert am == bm
+        assert set(a["cluster_id"]).issubset(set(range(8)))
+        # matches a driver-side recompute with the same centroids
+        cents = ivf_centroids(emb_ds, n_centroids=8, seed=17)
+        ids = np.array(emb_tbl.column("vec_id").to_pylist())
+        mat = np.array(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        exp = np.argmax((mat / norms) @ cents.T, axis=1)
+        for i, d in enumerate(ids):
+            assert am[int(d)] == int(exp[i])
