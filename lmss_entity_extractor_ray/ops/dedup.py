@@ -521,10 +521,76 @@ def _pair_counts(
     )
 
 
+def auto_shingle_cap(
+    docs_ds: rd.Dataset,
+    shingle_k: int = 3,
+    floor: int = 128,
+    quantile: float = 0.99,
+    headroom: float = 4.0,
+    sample_docs: int = 4096,
+    seed: int = 9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Optional[int]:
+    """Zero-config ``max_shingle_freq`` for the verification join: estimate
+    the shingle doc-frequency spectrum from a deterministic hash sample and
+    cap at ``headroom ×`` the spectrum's ``quantile``-th frequency (an
+    idf-style rule: the bulk of the spectrum — the J-discriminative
+    shingles — sits far below the cap; only the exceptional boilerplate
+    tail is clipped).  Returns None (fully exact join) when nothing in the
+    sample would be clipped.
+
+    The sample (~``sample_docs`` docs) is collected to the driver — bounded
+    regardless of corpus size, and layout-independent (ops/sampling hash
+    tag), so the chosen cap is reproducible.  A shingle with corpus doc
+    frequency m appears ~Binomial(m, f) times in an f-fraction sample: hot
+    shingles — the only ones a cap can touch — are estimated tightly, rare
+    ones are irrelevant to the choice.  Capping skips per-shingle pair
+    emission of m(m-1)/2 rows for boilerplate n-grams, the one blow-up of
+    the inverted-index self-join on templated corpora (a phrase shared by
+    10^4 docs costs 5·10^7 join rows); the resulting Jaccard is exact over
+    the sub-cap shingle space and never over-estimated (_pair_counts)."""
+    from collections import Counter
+
+    total = docs_ds.count()
+    if total == 0:
+        return None
+    frac = min(1.0, sample_docs / total)
+    from .sampling import hash_sample
+
+    sampled = hash_sample(
+        docs_ds.select_columns([id_col, text_col]), id_col, frac, salt=seed
+    )
+    freq: Counter = Counter()
+    for b in sampled.iter_batches(batch_format="pyarrow"):
+        for t in b.column(text_col).to_pylist():
+            toks = exact_tokens(t)
+            if len(toks) < shingle_k:
+                continue
+            freq.update(
+                {
+                    " ".join(toks[i : i + shingle_k])
+                    for i in range(len(toks) - shingle_k + 1)
+                }
+            )
+    if not freq:
+        return None
+    est = np.sort(np.fromiter(freq.values(), dtype=np.float64))[::-1] / frac
+    q = est[min(int(len(est) * (1.0 - quantile)), len(est) - 1)]
+    cap = max(floor, int(np.ceil(headroom * q)))
+    return cap if est[0] > cap else None
+
+
+def _resolve_cap(max_shingle_freq, docs_ds: rd.Dataset, shingle_k: int):
+    if max_shingle_freq == "auto":
+        return auto_shingle_cap(docs_ds, shingle_k=shingle_k)
+    return max_shingle_freq
+
+
 def ngram_jaccard_pairs(
     docs_ds: rd.Dataset, threshold: float = 0.5, shingle_k: int = 3,
     num_partitions: Optional[int] = None,
-    max_shingle_freq: Optional[int] = None,
+    max_shingle_freq=None,
 ) -> rd.Dataset:
     """EXACT n-gram Jaccard near-dup pairs: every unordered doc pair with
     |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold.
@@ -539,8 +605,10 @@ def ngram_jaccard_pairs(
     pairs at scale.  Skew note: a shingle shared by m docs emits m² join
     rows; for corpora with boilerplate n-grams, cap or drop top-frequency
     shingles on BOTH sides first (idf-style), which only removes
-    non-discriminative intersections."""
+    non-discriminative intersections — or pass ``max_shingle_freq="auto"``
+    for the sample-estimated zero-config cap (auto_shingle_cap)."""
     P = num_partitions or _shuffle_partitions(docs_ds, scale=8.0)
+    max_shingle_freq = _resolve_cap(max_shingle_freq, docs_ds, shingle_k)
 
     def shingle_batch(batch: pa.Table) -> pa.Table:
         ids, shs, ns = [], [], []
@@ -594,7 +662,7 @@ def near_dup_pairs_minhash(
     bands: int = 16,
     shingle_k: int = 3,
     num_partitions: Optional[int] = None,
-    max_shingle_freq: Optional[int] = None,
+    max_shingle_freq=None,
     broadcast_pairs_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard —
@@ -610,7 +678,8 @@ def near_dup_pairs_minhash(
          set membership;
       3. exact intersection counts via the distributed inverted-index
          self-join (_pair_counts) — pass ``max_shingle_freq`` on boilerplate
-         corpora (see _pair_counts; default exact);
+         corpora (an int, or "auto" for the sample-estimated zero-config
+         cap — auto_shingle_cap; default exact);
       4. counts ∩ candidates — verification is defined over LSH
          candidates.  Small candidate sets (≤ ``broadcast_pairs_limit``)
          broadcast as ONE sorted structured array and filter inside the
@@ -625,6 +694,7 @@ def near_dup_pairs_minhash(
     from .join import hash_join
 
     P = num_partitions or _shuffle_partitions(docs_ds)
+    max_shingle_freq = _resolve_cap(max_shingle_freq, docs_ds, shingle_k)
     cands = minhash_candidate_pairs(
         docs_ds, num_perm, bands, shingle_k
     ).select_columns(["a", "b"]).materialize()

@@ -58,8 +58,9 @@ def curate(
     max_shingle_freq=None,
 ) -> rd.Dataset:
     """documents(doc_id, text, lang) → curated (doc_id, lang) sample.
-    ``max_shingle_freq`` passes through to the pair join — set it on
-    boilerplate-heavy corpora (ops/dedup._pair_counts)."""
+    ``max_shingle_freq`` passes through to the pair join — set an int (or
+    "auto" for the sample-estimated cap) on boilerplate-heavy corpora
+    (ops/dedup._pair_counts / auto_shingle_cap)."""
     pairs = ngram_jaccard_pairs(
         docs_ds, threshold=jaccard_threshold, max_shingle_freq=max_shingle_freq
     )

@@ -1597,3 +1597,63 @@ class TestRound3Ops:
         exp = np.argmax((mat / norms) @ cents.T, axis=1)
         for i, d in enumerate(ids):
             assert am[int(d)] == int(exp[i])
+
+
+class TestAutoShingleCap:
+    def _mk_corpus(self, n=240, boiler="lorem ipsum dolor sit amet", ray=None):
+        import ray.data as rd
+
+        rows = []
+        for i in range(n):
+            # unique tail so docs are distinct; shared boilerplate head
+            rows.append(f"{boiler} uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e "
+                        f"uniq{i}f uniq{i}g uniq{i}h uniq{i}i uniq{i}j")
+        # one true near-dup pair: 240/241 share everything but one token
+        rows.append(rows[0] + " tailx")
+        ids = list(range(len(rows)))
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": rows})
+        return tbl, rd.from_arrow(tbl).repartition(4)
+
+    def test_auto_cap_on_boilerplate_corpus(self, ray_session):
+        from lmss_entity_extractor_ray.ops.dedup import (
+            auto_shingle_cap,
+            ngram_jaccard_pairs,
+        )
+
+        tbl, ds = self._mk_corpus()
+        cap = auto_shingle_cap(ds, shingle_k=3, floor=4, sample_docs=10_000)
+        # every doc shares the 3 boilerplate 3-grams (freq 241 > floor) —
+        # the auto cap must engage and sit below the boilerplate frequency
+        assert cap is not None and 4 <= cap < 241
+        exact = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+        capped = ngram_jaccard_pairs(
+            ds, threshold=0.5, max_shingle_freq=cap
+        ).to_pandas()
+        exact_pairs = set(zip(exact["a"], exact["b"]))
+        capped_pairs = set(zip(capped["a"], capped["b"]))
+        # capping only UNDER-estimates J → capped pairs are a subset…
+        assert capped_pairs <= exact_pairs
+        # …and the true near-dup (shares its entire unique tail) survives
+        assert (0, 240) in capped_pairs
+
+    def test_auto_cap_none_on_benign_corpus(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import auto_shingle_cap
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(50), pa.int64()),
+                "text": [f"w{i}a w{i}b w{i}c w{i}d w{i}e" for i in range(50)],
+            }
+        )
+        assert auto_shingle_cap(rd.from_arrow(tbl), floor=4) is None
+
+    def test_auto_mode_through_minhash(self, ray_session):
+        from lmss_entity_extractor_ray.ops.dedup import near_dup_pairs_minhash
+
+        tbl, ds = self._mk_corpus(n=60)
+        got = near_dup_pairs_minhash(
+            ds, threshold=0.5, max_shingle_freq="auto"
+        ).to_pandas()
+        assert (0, 60) in set(zip(got["a"], got["b"]))
