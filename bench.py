@@ -124,6 +124,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for name in (
         "token_counts",
         "quality_scores",
+        "repetition_stats",
+        "regex_redact",
+        "decontaminate",
+        "docs_per_source_cap",
         "exact_dedup",
         "simhash_signatures",
         "minhash_near_dup",
@@ -132,6 +136,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "curation_pipeline",
         "embedding_near_dup",
         "ann_topk",
+        "ann_topk_multi",
+        "kmeans_clusters",
         "events_topk_by_type",
         "user_running_value",
         "tfidf_topk",

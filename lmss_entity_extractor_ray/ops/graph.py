@@ -150,6 +150,48 @@ def _cc_finish(labels: pa.Table, node_name: str, cluster_name: str) -> pa.Table:
     )
 
 
+@ray.remote
+def _cc_local(
+    a_col: str, b_col: str, node_name: str, cluster_name: str, *tables: pa.Table
+) -> pa.Table:
+    """Single-task connected components for SMALL edge lists: numpy
+    hook-and-jump label propagation (labels monotonically decrease to the
+    component minimum, pointer-jumping converges in O(log diameter) sweeps).
+    One worker holds the whole edge list — the size-adaptive small side of
+    the BSP loop, same result by construction."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return pa.schema(
+            [(node_name, pa.int64()), (cluster_name, pa.int64())]
+        ).empty_table()
+    t = pa.concat_tables(live)
+    a = col_np(t, a_col)
+    b = col_np(t, b_col)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[ai], lab[bi])
+        new = lab.copy()
+        np.minimum.at(new, ai, m)
+        np.minimum.at(new, bi, m)
+        while True:  # pointer jumping
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # nodes are sorted ascending, so min index == min node id
+    return pa.table(
+        {
+            node_name: pa.array(nodes, pa.int64()),
+            cluster_name: pa.array(nodes[lab], pa.int64()),
+        }
+    )
+
+
 def connected_components(
     pairs_ds: rd.Dataset,
     a: str = "a",
@@ -158,23 +200,33 @@ def connected_components(
     cluster_name: str = "cluster_id",
     num_partitions: Optional[int] = None,
     max_iters: int = 64,
+    small_graph_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """(node, cluster_id) for every node appearing in the pair list, where
-    ``cluster_id`` is the minimum node id in its connected component."""
+    ``cluster_id`` is the minimum node id in its connected component.
+
+    Size-adaptive: edge lists ≤ ``small_graph_limit`` rows (~80 MB — the
+    near-dup population of most corpora) run as ONE remote union-find task
+    (_cc_local), skipping the BSP machinery's per-wave task latency; larger
+    graphs take the partitioned hash-to-min loop."""
     blocks = pairs_ds.select_columns([a, b]).to_arrow_refs()
     if not blocks:
         return rd.from_arrow(
             pa.schema([(node_name, pa.int64()), (cluster_name, pa.int64())]).empty_table()
         )
+    # edge count via one metadata task per block (the pair table is already
+    # materialized behind `blocks`)
+    total = sum(ray.get([_nrows.remote(t) for t in blocks]))
+    if total <= small_graph_limit:
+        return rd.from_arrow_refs(
+            [_cc_local.remote(a, b, node_name, cluster_name, *blocks)]
+        )
     if num_partitions is None:
-        # size P by the ACTUAL edge count (the pair table is already
-        # materialized behind `blocks`, so row counts are one metadata task
-        # per block): every extra partition costs 2 tasks per BSP wave, so a
-        # small dup population should run on a handful of partitions even on
-        # a big cluster — and a 10^9-edge graph gets its width from the data,
-        # not the CPU count.  P >= 2 keeps options(num_returns=P) returning a
-        # ref per partition.
-        total = sum(ray.get([_nrows.remote(t) for t in blocks]))
+        # size P by the ACTUAL edge count: every extra partition costs 2
+        # tasks per BSP wave, so a small dup population should run on a
+        # handful of partitions even on a big cluster — and a 10^9-edge
+        # graph gets its width from the data, not the CPU count.  P >= 2
+        # keeps options(num_returns=P) returning a ref per partition.
         num_partitions = min(
             shuffle_partitions(pairs_ds), total * 2 // _EDGE_ROWS_PER_PART + 1
         )

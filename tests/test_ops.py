@@ -848,10 +848,16 @@ class TestGraph:
     def test_connected_components(self, ray_session):
         from lmss_entity_extractor_ray.ops.graph import connected_components
 
+        expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                  20: 20, 21: 20, 22: 20, 23: 20, 30: 30, 31: 30}
+        # small-graph single-task path (the default at this size)
         df = connected_components(self._pairs(), num_partitions=4).to_pandas()
-        got = dict(zip(df["doc_id"], df["cluster_id"]))
-        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
-                       20: 20, 21: 20, 22: 20, 23: 20, 30: 30, 31: 30}
+        assert dict(zip(df["doc_id"], df["cluster_id"])) == expect
+        # BSP path forced — must agree exactly
+        df2 = connected_components(
+            self._pairs(), num_partitions=4, small_graph_limit=0
+        ).to_pandas()
+        assert dict(zip(df2["doc_id"], df2["cluster_id"])) == expect
 
     def test_cc_single_partition_and_empty(self, ray_session):
         import ray.data as rd
@@ -878,6 +884,11 @@ class TestGraph:
         pairs = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
         df = connected_components(pairs, num_partitions=5).to_pandas()
         got = dict(zip(df["doc_id"], df["cluster_id"]))
+        df_bsp = connected_components(
+            rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})),
+            num_partitions=5, small_graph_limit=0,
+        ).to_pandas()
+        assert dict(zip(df_bsp["doc_id"], df_bsp["cluster_id"])) == got
 
         parent: dict = {}
 
@@ -1420,11 +1431,16 @@ class TestAdviceRegressions:
         )
         ds = rd.from_arrow(pairs)
         with pytest.raises(RuntimeError, match="not converged"):
-            connected_components(ds, max_iters=1).to_pandas()
+            connected_components(ds, max_iters=1, small_graph_limit=0).to_pandas()
         # and with enough iterations the chain resolves to one component
-        df = connected_components(rd.from_arrow(pairs)).to_pandas()
+        df = connected_components(
+            rd.from_arrow(pairs), small_graph_limit=0
+        ).to_pandas()
         assert set(df["cluster_id"]) == {0}
         assert len(df) == n
+        # the single-task path resolves the same chain without iteration caps
+        df2 = connected_components(rd.from_arrow(pairs)).to_pandas()
+        assert set(df2["cluster_id"]) == {0} and len(df2) == n
 
     def test_exact_tokens_vtab_matches_re2(self, ray_session):
         """RE2's \\s excludes vertical tab; the Python tokenizer and
