@@ -45,9 +45,63 @@ SCALING_CPU_PAIR = (4, 16)
 _KG_ROWS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 8000}
 
 
+def _quiet_ray_data_logging() -> None:
+    """Route ray.data console logging through an ERROR-level config (full
+    logs still go to ray-data.log): keeps per-execution INFO lines and the
+    worker-side 'Failed to hash the schemas' warnings (pandas metadata in
+    the testdata parquet makes schemas unhashable — harmless, Ray-internal)
+    out of the bench tail, where they would mask a real warning."""
+    import yaml
+
+    path = "/tmp/graft_kg/ray_data_quiet_logging.yaml"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cfg = {
+        "version": 1,
+        "disable_existing_loggers": False,
+        "formatters": {
+            "ray": {
+                "format": "%(asctime)s\t%(levelname)s %(filename)s:%(lineno)s -- %(message)s"
+            }
+        },
+        "filters": {
+            "console_filter": {"()": "ray.data._internal.logging.HiddenRecordFilter"}
+        },
+        "handlers": {
+            "file": {
+                "class": "ray.data._internal.logging.SessionFileHandler",
+                "formatter": "ray",
+                "filename": "ray-data.log",
+            },
+            "console": {
+                "class": "ray._private.log.PlainRayHandler",
+                "formatter": "ray",
+                "level": "ERROR",
+                "filters": ["console_filter"],
+            },
+        },
+        "loggers": {
+            "ray.data": {
+                "level": "INFO",
+                "handlers": ["file", "console"],
+                "propagate": False,
+            },
+            "ray.air.util.tensor_extensions": {
+                "level": "INFO",
+                "handlers": ["file", "console"],
+                "propagate": False,
+            },
+        },
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    # set BEFORE ray.init so local-mode workers inherit it
+    os.environ["RAY_DATA_LOGGING_CONFIG"] = path
+
+
 def _init_ray(num_cpus: int):
     import ray
 
+    _quiet_ray_data_logging()
     if not ray.is_initialized():
         ray.init(
             address="local",
