@@ -362,6 +362,15 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_model_scores(sf_dir: str):
+    """Batched model inference as an actor pool: deterministic linear
+    quality model over the quality_scores features (weights load once per
+    actor; decision = logit > 0, bit-reproducible vs the SQL oracle)."""
+    from lmss_entity_extractor_ray.ops.model_score import model_scores
+
+    return model_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: the deterministic 'eval set' is doc_id %
     101 == 7; training docs sharing any 3-gram with it are dropped (the
@@ -704,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "regex_redact": _q_regex_redact,
         "repetition_stats": _q_repetition_stats,
+        "model_scores": _q_model_scores,
         # decontamination + per-domain caps (web-corpus curation rules)
         "decontaminate": _q_decontaminate,
         "docs_per_source_cap": _q_docs_per_source_cap,
@@ -933,6 +943,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ts USING (doc_id)
             LEFT JOIN bgc USING (doc_id)
+        """,
+        "model_scores": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       length(text) AS len_chars,
+                       {_NTOK} AS n_tokens,
+                       length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_count,
+                       CASE WHEN {_NTOK} = 0 THEN 0
+                            ELSE CAST(floor(length(regexp_replace(text, '\\s', '', 'g'))
+                                            / greatest({_NTOK}, 1) * 100000 + 0.5) AS BIGINT)
+                            END AS avg_token_chars_e5,
+                       CASE WHEN {_NTOK} = 0 THEN 0
+                            ELSE CAST(floor(len(list_filter({_TOKENS}, x -> x IN {_STOPWORDS_SQL}))
+                                            / {_NTOK} * 100000 + 0.5) AS BIGINT)
+                            END AS stopword_ratio_e5
+                FROM documents),
+            z AS (
+                SELECT doc_id,
+                       -10.0 + 0.00390625 * len_chars
+                             + 0.03125 * n_tokens
+                             + (-0.25) * punct_count
+                             + 0.0000152587890625 * avg_token_chars_e5
+                             + (-0.000030517578125) * stopword_ratio_e5 AS zv
+                FROM q)
+            SELECT doc_id,
+                   CAST(floor(zv * 100000 + 0.5) AS BIGINT) AS logit_e5,
+                   CAST(CASE WHEN zv > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+            FROM z
         """,
         "decontaminate": """
             WITH toks AS (

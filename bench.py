@@ -179,6 +179,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "token_counts",
         "quality_scores",
         "repetition_stats",
+        "model_scores",
         "regex_redact",
         "decontaminate",
         "docs_per_source_cap",

@@ -1673,3 +1673,46 @@ class TestAutoShingleCap:
             ds, threshold=0.5, max_shingle_freq="auto"
         ).to_pandas()
         assert (0, 60) in set(zip(got["a"], got["b"]))
+
+
+class TestModelScores:
+    def test_model_scores_vs_duckdb(self, ray_session, docs_ds):
+        import duckdb
+
+        from lmss_entity_extractor_ray.ops.model_score import model_scores
+
+        got = (
+            model_scores(docs_ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ntok = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+                "array_length(regexp_split_to_array(trim(text), '\\s+')) END")
+        toks = "regexp_split_to_array(trim(text), '\\s+')"
+        stop = "('the','a','an','of','to','and','in','is','it','for')"
+        exp = duckdb.sql(f"""
+            WITH q AS (
+                SELECT doc_id, length(text) AS lc, {ntok} AS nt,
+                       length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS pc,
+                       CASE WHEN {ntok} = 0 THEN 0
+                            ELSE CAST(floor(length(regexp_replace(text, '\\s', '', 'g'))
+                                            / greatest({ntok}, 1) * 100000 + 0.5) AS BIGINT)
+                            END AS atc,
+                       CASE WHEN {ntok} = 0 THEN 0
+                            ELSE CAST(floor(len(list_filter({toks}, x -> x IN {stop}))
+                                            / {ntok} * 100000 + 0.5) AS BIGINT)
+                            END AS sr
+                FROM '{SF}/documents.parquet'),
+            z AS (SELECT doc_id,
+                         -10.0 + 0.00390625*lc + 0.03125*nt + (-0.25)*pc
+                               + 0.0000152587890625*atc + (-0.000030517578125)*sr AS zv
+                  FROM q)
+            SELECT doc_id, CAST(floor(zv*100000 + 0.5) AS BIGINT) AS logit_e5,
+                   CASE WHEN zv > 0 THEN 1 ELSE 0 END AS keep
+            FROM z ORDER BY doc_id
+        """).df()
+        assert got["logit_e5"].tolist() == exp["logit_e5"].tolist()
+        assert got["keep"].tolist() == exp["keep"].tolist()
+        # the decision boundary actually splits the corpus
+        assert 0 < got["keep"].sum() < len(got)
