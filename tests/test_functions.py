@@ -137,3 +137,27 @@ class TestText:
     def test_word_tokens_offsets(self):
         toks = word_tokens("Tax Law, applied")
         assert toks == [("Tax", 0, 3), ("Law", 4, 7), ("applied", 9, 16)]
+
+
+class TestPiiPresets:
+    """The production redaction presets must be valid RE2 (Arrow kernels
+    reject invalid patterns at call time) and hit the obvious cases."""
+
+    def test_presets_fire(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from lmss_entity_extractor_ray.ops.text_ops import EMAIL_RE, IPV4_RE, PHONE_RE
+
+        samples = pa.array(
+            [
+                "contact alice.smith+x@example.co.uk today",
+                "call +1 (555) 123-4567 now",
+                "server at 192.168.0.1 responded",
+                "no pii here",
+            ]
+        )
+        for pat, hits in ((EMAIL_RE, [1, 0, 0, 0]), (PHONE_RE, [0, 1, 0, 0]),
+                          (IPV4_RE, [0, 0, 1, 0])):
+            got = pc.count_substring_regex(samples, pat).to_pylist()
+            assert got == hits, (pat, got)
