@@ -528,6 +528,31 @@ def _q_orders_join_customer(sf_dir: str):
     ).select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"])
 
 
+def _q_bloom_join_orders(sf_dir: str):
+    """Bloom-filter semi-join pre-filter (the classic big-join optimization
+    at corpus scale): orders ⋈ the small high-balance customer subset — the
+    broadcast bitmap prunes ~90% of orders BEFORE the join exchange; the
+    exact hash_join afterwards makes the result identical to the plain
+    join (Bloom filters have no false negatives)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lmss_entity_extractor_ray.ops.bloom import bloom_join
+
+    def rich(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("c_acctbal"), 9_000.0))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        rich, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bloom_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+    ).select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_acctbal"])
+
+
 def _q_revenue_by_segment(sf_dir: str):
     """hash_join composed with a bounded aggregate."""
     import pyarrow as pa
@@ -755,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         # generic relational coverage
         "orders_join_customer": _q_orders_join_customer,
+        "bloom_join_orders": _q_bloom_join_orders,
         "high_value_customers": _q_high_value_customers,
         "lineitem_profile": _q_lineitem_profile,
         "revenue_by_segment": _q_revenue_by_segment,
@@ -1211,6 +1237,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_customer": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "bloom_join_orders": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_acctbal
+            FROM orders o
+            JOIN (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_acctbal > 9000) c
+              ON o.o_custkey = c.c_custkey
         """,
         "revenue_by_segment": """
             SELECT c.c_mktsegment, count(*) AS n_orders,

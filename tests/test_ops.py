@@ -1716,3 +1716,48 @@ class TestModelScores:
         assert got["keep"].tolist() == exp["keep"].tolist()
         # the decision boundary actually splits the corpus
         assert 0 < got["keep"].sum() < len(got)
+
+
+class TestBloomJoin:
+    def test_bloom_join_equals_plain_join(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.bloom import (
+            bloom_join,
+            bloom_semi_filter,
+            build_bloom,
+        )
+
+        orders = rd.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+        cust = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+        import pyarrow.compute as pc
+
+        rich = cust.map_batches(
+            lambda b: b.filter(pc.greater(b.column("c_acctbal"), 8000.0)),
+            batch_format="pyarrow",
+        )
+        got = (
+            bloom_join(orders, rich, on="o_custkey", right_on="c_custkey")
+            .select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_acctbal"])
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(f"""
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_acctbal
+            FROM '{SF}/orders.parquet' o
+            JOIN (SELECT c_custkey, c_acctbal FROM '{SF}/customer.parquet'
+                  WHERE c_acctbal > 8000) c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_orderkey
+        """).df()
+        assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+        assert got["c_acctbal"].tolist() == exp["c_acctbal"].tolist()
+
+        # no false negatives: the pre-filter keeps EVERY truly matching row,
+        # and it actually prunes (selectivity << 1 on this predicate)
+        bloom = build_bloom(rich, "c_custkey")
+        kept = bloom_semi_filter(orders, bloom, "o_custkey").count()
+        assert len(exp) <= kept < orders.count()
