@@ -440,6 +440,25 @@ def _q_stratified_sample(sf_dir: str):
     )
 
 
+def _q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment (pure function of doc_id —
+    stable under corpus growth, reproducible at any parallelism)."""
+    from lmss_entity_extractor_ray.ops.sampling import dataset_split
+
+    return dataset_split(_read(sf_dir, "documents", ["doc_id", "lang"]))
+
+
+def _q_length_percentile_gate(sf_dir: str):
+    """Percentile quality gate: drop each language's shortest quartile —
+    bounded stats pass → broadcast thresholds → map-only corpus filter."""
+    from lmss_entity_extractor_ray.ops.stats import grouped_quantile_gate
+
+    return grouped_quantile_gate(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        key="lang", value="n_chars", q=0.25,
+    )
+
+
 def _q_hash_sample(sf_dir: str):
     from lmss_entity_extractor_ray.ops.sampling import hash_sample
 
@@ -769,10 +788,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_by_type": _q_events_topk_by_type,
         # flagship curation composition (dedup -> quality -> sample)
         "curation_pipeline": _q_curation,
-        # sampling
+        # sampling / splitting / percentile gates
         "hash_sample": _q_hash_sample,
         "reservoir_sample": _q_reservoir_sample,
         "stratified_sample_by_lang": _q_stratified_sample,
+        "dataset_split": _q_dataset_split,
+        "length_percentile_gate": _q_length_percentile_gate,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal_decode,
         # corpus statistics
@@ -1216,6 +1237,23 @@ def oracle_sql() -> dict[str, str]:
                   AND length(coalesce(d.text, '')) >= 100
                   AND {_NTOK} >= 20)
             WHERE rn <= 25
+        """,
+        "dataset_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN ((doc_id + 7) * 2654435761) % 4294967296
+                             < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+                        WHEN ((doc_id + 7) * 2654435761) % 4294967296
+                             < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "length_percentile_gate": """
+            WITH t AS (
+                SELECT lang, quantile_disc(n_chars, 0.25) AS q
+                FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN t USING (lang)
+            WHERE d.n_chars >= t.q
         """,
         "hash_sample": """
             SELECT doc_id, lang FROM documents

@@ -92,3 +92,33 @@ def reservoir_sample(ds: rd.Dataset, k: int, seed: int = 42, key: str = "doc_id"
     keys = col_np(merged, key, np.uint64)
     order = np.lexsort((keys, tags))[: min(k, merged.num_rows)]
     return merged.drop_columns(["_tag"]).take(pa.array(order, pa.int64()))
+
+
+def dataset_split(
+    ds: rd.Dataset,
+    key: str = "doc_id",
+    fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: int = 7,
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment: each row's split is a pure
+    function of its key — reproducible across runs, block layouts and
+    parallelism, and stable under corpus growth (a doc never changes split
+    when new data arrives, unlike count-based splits).  One map, no
+    shuffle.  SQL parity: CASE over the identical tag expression
+    ``((key + seed) * 2654435761) % 2^32`` against the cumulative-fraction
+    thresholds."""
+    names = [n for n, _ in fractions]
+    cum, acc = [], 0.0
+    for _, f in fractions:
+        acc += f
+        cum.append(int(acc * _MOD))
+    cum[-1] = _MOD  # float slop must not leave a row unassigned
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tags = _tag(col_np(batch, key, np.uint64), seed)
+        idx = np.searchsorted(np.asarray(cum, dtype=np.uint64), tags, side="right")
+        return batch.append_column(
+            "split", pa.array([names[i] for i in idx], pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -18,7 +18,7 @@ oracle compares value-for-value.
 from __future__ import annotations
 
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -84,3 +84,37 @@ def grouped_quantiles_ds(
     ds: rd.Dataset, key: str, value: str, qs: Sequence[float] = (0.25, 0.5, 0.9)
 ) -> rd.Dataset:
     return rd.from_arrow(grouped_quantiles(ds, key, value, qs))
+
+
+def grouped_quantile_gate(
+    ds: rd.Dataset,
+    key: str,
+    value: str,
+    q: float = 0.25,
+    keep_cols: Optional[Sequence[str]] = None,
+) -> rd.Dataset:
+    """Keep rows whose ``value`` is >= their group's ``q``-quantile — the
+    percentile-based quality gate (e.g. drop each language's shortest
+    quartile).  Composition shape for 100 TB: one bounded stats pass
+    (grouped_quantiles — O(|groups|) result), broadcast the threshold dict
+    once via ``ray.put``, then a map-only filter over the corpus.  No
+    corpus shuffle anywhere."""
+    import ray
+
+    qt = grouped_quantiles(ds.select_columns([key, value]), key, value, qs=(q,))
+    qcol = f"q{int(q * 100)}"
+    thresholds = dict(zip(qt.column(key).to_pylist(), qt.column(qcol).to_pylist()))
+    ref = ray.put(thresholds)
+    cols = list(keep_cols) if keep_cols else None
+
+    def gate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(cols) if cols else batch
+        th = ray.get(ref)
+        vals = col_np(batch, value)
+        ks = batch.column(key).to_pylist()
+        lim = np.array([th.get(k, -np.inf) for k in ks], dtype=np.float64)
+        out = batch.filter(pa.array(vals >= lim))
+        return out.select(cols) if cols else out
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

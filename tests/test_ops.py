@@ -1761,3 +1761,44 @@ class TestBloomJoin:
         bloom = build_bloom(rich, "c_custkey")
         kept = bloom_semi_filter(orders, bloom, "o_custkey").count()
         assert len(exp) <= kept < orders.count()
+
+
+class TestSplitAndGate:
+    def test_dataset_split_deterministic_and_complete(self, ray_session, docs_ds):
+        from lmss_entity_extractor_ray.ops.sampling import dataset_split
+
+        a = dataset_split(docs_ds).to_pandas()
+        b = dataset_split(docs_ds.repartition(7)).to_pandas()
+        am = dict(zip(a["doc_id"], a["split"]))
+        bm = dict(zip(b["doc_id"], b["split"]))
+        assert am == bm  # layout-independent
+        counts = a["split"].value_counts()
+        assert set(counts.index) <= {"train", "val", "test"}
+        assert counts.sum() == len(a)
+        # roughly the requested proportions at n=500
+        assert counts.get("train", 0) > counts.get("val", 0)
+        assert counts.get("train", 0) > counts.get("test", 0)
+
+    def test_length_percentile_gate_vs_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.stats import grouped_quantile_gate
+
+        docs = rd.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        got = sorted(
+            grouped_quantile_gate(docs, key="lang", value="n_chars", q=0.25)
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        exp = sorted(
+            duckdb.sql(f"""
+                WITH t AS (SELECT lang, quantile_disc(n_chars, 0.25) AS q
+                           FROM '{SF}/documents.parquet' GROUP BY lang)
+                SELECT d.doc_id FROM '{SF}/documents.parquet' d
+                JOIN t USING (lang) WHERE d.n_chars >= t.q
+            """).df()["doc_id"].tolist()
+        )
+        assert got == exp
