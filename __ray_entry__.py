@@ -440,6 +440,21 @@ def _q_stratified_sample(sf_dir: str):
     )
 
 
+def _q_distinct_tokens_exact(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.cardinality import distinct_tokens_exact
+
+    return distinct_tokens_exact(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_distinct_tokens_hll(sf_dir: str):
+    """HyperLogLog vocabulary-size estimate (mergeable sketch — the
+    cardinality primitive for 10^12-row streams); error bound vs the exact
+    op pinned by pytest."""
+    from lmss_entity_extractor_ray.ops.cardinality import distinct_tokens_hll
+
+    return distinct_tokens_hll(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_dataset_split(sf_dir: str):
     """Deterministic train/val/test assignment (pure function of doc_id —
     stable under corpus growth, reproducible at any parallelism)."""
@@ -799,6 +814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus statistics
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles,
         "tfidf_topk": _q_tfidf_topk,
+        "distinct_tokens_exact": _q_distinct_tokens_exact,
+        "distinct_tokens_hll": _q_distinct_tokens_hll,
         # generic relational coverage
         "orders_join_customer": _q_orders_join_customer,
         "bloom_join_orders": _q_bloom_join_orders,
@@ -1237,6 +1254,13 @@ def oracle_sql() -> dict[str, str]:
                   AND length(coalesce(d.text, '')) >= 100
                   AND {_NTOK} >= 20)
             WHERE rn <= 25
+        """,
+        "distinct_tokens_exact": """
+            SELECT count(DISTINCT term) AS n_distinct_tokens
+            FROM (SELECT unnest(list_filter(
+                      regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                      x -> x <> '')) AS term
+                  FROM documents)
         """,
         "dataset_split": """
             SELECT doc_id, lang,

@@ -1802,3 +1802,44 @@ class TestSplitAndGate:
             """).df()["doc_id"].tolist()
         )
         assert got == exp
+
+
+class TestCardinality:
+    def test_exact_distinct_vs_duckdb(self, ray_session, docs_ds):
+        import duckdb
+
+        from lmss_entity_extractor_ray.ops.cardinality import distinct_tokens_exact
+
+        got = distinct_tokens_exact(docs_ds).to_pandas()["n_distinct_tokens"][0]
+        exp = duckdb.sql(f"""
+            SELECT count(DISTINCT term) FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM '{SF}/documents.parquet')
+        """).fetchone()[0]
+        assert got == exp
+
+    def test_hll_within_error_bound(self, ray_session):
+        """HLL at p=12 has ~1.6% std error; gate at 5% on a 20k-token vocab
+        (synthetic tokens so the true cardinality is known and large enough
+        for the asymptotic regime)."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.cardinality import (
+            distinct_tokens_exact,
+            distinct_tokens_hll,
+        )
+
+        rows = [" ".join(f"tok{i}_{j}" for j in range(20)) for i in range(1000)]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(rows)), pa.int64()), "text": rows}
+        )
+        ds = rd.from_arrow(tbl).repartition(6)
+        exact = distinct_tokens_exact(ds).to_pandas()["n_distinct_tokens"][0]
+        assert exact == 20_000
+        est = distinct_tokens_hll(ds, p=12).to_pandas()["n_distinct_tokens_est"][0]
+        assert abs(est - exact) / exact < 0.05
+        # layout independence: sketches merge by register max — same estimate
+        est2 = distinct_tokens_hll(rd.from_arrow(tbl).repartition(2), p=12)
+        assert est2.to_pandas()["n_distinct_tokens_est"][0] == est
