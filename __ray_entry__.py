@@ -440,6 +440,45 @@ def _q_stratified_sample(sf_dir: str):
     )
 
 
+def _q_partitioned_write_roundtrip(sf_dir: str):
+    """Resumable-output sink shape: hive-partitioned parquet write (one
+    directory per lang — the unit a failed run can skip on retry) and a
+    partition-aware read back; values must round-trip exactly."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_kg/partwrite-{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).write_parquet(
+        out, partition_cols=["lang"]
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang").cast(pa.string()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(out).map_batches(norm, batch_format="pyarrow")
+
+
+def _q_top_tokens(sf_dir: str):
+    """Certified-exact heavy hitters: two bounded passes (pigeonhole
+    candidate generation + exact verification of only the candidates)
+    instead of an unbounded-vocabulary groupby exchange."""
+    from lmss_entity_extractor_ray.ops.heavy_hitters import top_tokens
+
+    return top_tokens(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
+
+
 def _q_distinct_tokens_exact(sf_dir: str):
     from lmss_entity_extractor_ray.ops.cardinality import distinct_tokens_exact
 
@@ -762,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
         "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
+        "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
         # text analysis
         "token_counts": _q_token_counts,
         "wordish_token_counts": _q_wordish_token_counts,
@@ -816,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "distinct_tokens_hll": _q_distinct_tokens_hll,
+        "top_tokens": _q_top_tokens,
         # generic relational coverage
         "orders_join_customer": _q_orders_join_customer,
         "bloom_join_orders": _q_bloom_join_orders,
@@ -1254,6 +1295,17 @@ def oracle_sql() -> dict[str, str]:
                   AND length(coalesce(d.text, '')) >= 100
                   AND {_NTOK} >= 20)
             WHERE rn <= 25
+        """,
+        "partitioned_write_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
+        """,
+        "top_tokens": """
+            SELECT term AS token, count(*) AS n FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents)
+            GROUP BY term ORDER BY n DESC, token LIMIT 20
         """,
         "distinct_tokens_exact": """
             SELECT count(DISTINCT term) AS n_distinct_tokens

@@ -1843,3 +1843,37 @@ class TestCardinality:
         # layout independence: sketches merge by register max — same estimate
         est2 = distinct_tokens_hll(rd.from_arrow(tbl).repartition(2), p=12)
         assert est2.to_pandas()["n_distinct_tokens_est"][0] == est
+
+
+class TestHeavyHitters:
+    def test_top_tokens_vs_duckdb(self, ray_session, docs_ds):
+        import duckdb
+
+        from lmss_entity_extractor_ray.ops.heavy_hitters import top_tokens
+
+        got = top_tokens(docs_ds, k=15).to_pandas()
+        exp = duckdb.sql(f"""
+            SELECT term AS token, count(*) AS n FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM '{SF}/documents.parquet')
+            GROUP BY term ORDER BY n DESC, token LIMIT 15
+        """).df()
+        assert got["token"].tolist() == exp["token"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    def test_top_tokens_refuses_uncertifiable(self, ray_session):
+        """Near-uniform vocabulary: no token clears the pigeonhole bar —
+        the operator must raise instead of silently returning a wrong
+        top-k."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.heavy_hitters import top_tokens
+
+        rows = [" ".join(f"u{i}_{j}" for j in range(30)) for i in range(200)]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(rows)), pa.int64()), "text": rows}
+        )
+        with pytest.raises(ValueError, match="raise m"):
+            top_tokens(rd.from_arrow(tbl).repartition(4), k=5, m=8).to_pandas()
