@@ -343,6 +343,12 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
 
 
+def _q_unicode_normalize(sf_dir: str):
+    from lmss_entity_extractor_ray.ops.text_ops import unicode_normalize
+
+    return unicode_normalize(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_regex_redact(sf_dir: str):
     """PII-scrubbing shape: RE2 redaction + match count + digest of the
     scrubbed text (the pattern fires on the synthetic vocabulary; production
@@ -810,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "unicode_normalize": _q_unicode_normalize,
         "regex_redact": _q_regex_redact,
         "repetition_stats": _q_repetition_stats,
         "model_scores": _q_model_scores,
@@ -1010,6 +1017,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    sha256(trim(regexp_replace(lower(coalesce(text, '')),
                                               '\\s+', ' ', 'g'), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "unicode_normalize": """
+            SELECT doc_id,
+                   sha256(nfc_normalize(coalesce(text, ''))) AS norm_sha256,
+                   CAST(CASE WHEN nfc_normalize(coalesce(text, ''))
+                                  <> coalesce(text, '') THEN 1 ELSE 0 END
+                        AS INTEGER) AS changed
             FROM documents
         """,
         "regex_redact": """

@@ -181,8 +181,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "repetition_stats",
         "model_scores",
         "regex_redact",
+        "unicode_normalize",
         "decontaminate",
         "docs_per_source_cap",
+        "dataset_split",
+        "length_percentile_gate",
+        "top_tokens",
+        "distinct_tokens_exact",
         "exact_dedup",
         "simhash_signatures",
         "minhash_near_dup",
@@ -198,6 +203,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "tfidf_topk",
         "packed_sequences",
         "orders_join_customer",
+        "bloom_join_orders",
         "hash_sample",
         "stratified_sample_by_lang",
         "multimodal_decode",

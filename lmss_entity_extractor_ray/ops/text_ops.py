@@ -276,6 +276,44 @@ def fingerprints(ds: rd.Dataset) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Unicode normalization (NFC)
+# ---------------------------------------------------------------------------
+
+
+def unicode_normalize(ds: rd.Dataset, form: str = "NFC") -> rd.Dataset:
+    """(doc_id, norm_sha256, changed) — Unicode-normalize ``text`` and ship
+    the digest of the normalized form plus a changed flag (web corpora mix
+    composed/decomposed encodings of the same glyphs; normalizing first is
+    what makes downstream dedup/fingerprints see them as equal).
+
+    Uses Python's ``unicodedata`` (C implementation of the normative
+    algorithm), NOT ``pc.utf8_normalize`` — this pyarrow build emits
+    DECOMPOSED output for form="NFC" (observed: 'café' → 'cafe\\u0301'),
+    which would break parity with DuckDB's utf8proc-based
+    ``nfc_normalize``.  Map-only, no shuffle."""
+    import hashlib
+    import unicodedata
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text"), "").to_pylist()
+        norm = [unicodedata.normalize(form, t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_sha256": pa.array(
+                    [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in norm],
+                    pa.string(),
+                ),
+                "changed": pa.array(
+                    [int(a != b) for a, b in zip(norm, texts)], pa.int32()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # regex redaction (PII scrubbing shape)
 # ---------------------------------------------------------------------------
 # Production patterns for a web corpus; the contract query instance uses a

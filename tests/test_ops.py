@@ -1877,3 +1877,32 @@ class TestHeavyHitters:
         )
         with pytest.raises(ValueError, match="raise m"):
             top_tokens(rd.from_arrow(tbl).repartition(4), k=5, m=8).to_pandas()
+
+
+class TestUnicodeNormalize:
+    def test_nfc_parity_with_duckdb_on_nonascii(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.text_ops import unicode_normalize
+
+        texts = ["café münchen", "café", "å vs å",
+                 "plain ascii", "", "ﬁle ligatures stay in NFC"]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+        got = (
+            unicode_normalize(rd.from_arrow(tbl).repartition(2))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.sql("""
+            SELECT doc_id, sha256(nfc_normalize(coalesce(text,''))) AS h,
+                   CASE WHEN nfc_normalize(coalesce(text,'')) <> coalesce(text,'')
+                        THEN 1 ELSE 0 END AS c
+            FROM t ORDER BY doc_id
+        """).df()
+        assert got["norm_sha256"].tolist() == exp["h"].tolist()
+        assert got["changed"].tolist() == exp["c"].tolist()
+        assert got["changed"].sum() >= 2  # the decomposed inputs DID change
