@@ -343,6 +343,14 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
 
 
+def _q_unigram_nll(sf_dir: str):
+    """CCNet-style perplexity signal: per-doc NLL under the corpus's own
+    unigram LM (quantize-then-sum so the value oracle is exact)."""
+    from lmss_entity_extractor_ray.ops.lm_score import unigram_nll
+
+    return unigram_nll(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_unicode_normalize(sf_dir: str):
     from lmss_entity_extractor_ray.ops.text_ops import unicode_normalize
 
@@ -817,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "unicode_normalize": _q_unicode_normalize,
+        "unigram_nll": _q_unigram_nll,
         "regex_redact": _q_regex_redact,
         "repetition_stats": _q_repetition_stats,
         "model_scores": _q_model_scores,
@@ -1018,6 +1027,25 @@ def oracle_sql() -> dict[str, str]:
                    sha256(trim(regexp_replace(lower(coalesce(text, '')),
                                               '\\s+', ' ', 'g'), ' ')) AS fingerprint
             FROM documents
+        """,
+        "unigram_nll": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            tf AS (SELECT term, count(*) AS c FROM ex GROUP BY term),
+            n AS (SELECT CAST(SUM(c) AS DOUBLE) AS nn FROM tf),
+            q AS (SELECT term, CAST(floor(100000 * ln(nn / c)) AS BIGINT) AS qv
+                  FROM tf, n)
+            SELECT d.doc_id,
+                   CAST(COALESCE(x.cnt, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(x.s, 0) AS BIGINT) AS nll_e5_sum
+            FROM documents d LEFT JOIN (
+                SELECT ex.doc_id, count(*) AS cnt, SUM(q.qv) AS s
+                FROM ex JOIN q USING (term) GROUP BY ex.doc_id) x
+            USING (doc_id)
         """,
         "unicode_normalize": """
             SELECT doc_id,

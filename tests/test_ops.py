@@ -1906,3 +1906,32 @@ class TestUnicodeNormalize:
         assert got["norm_sha256"].tolist() == exp["h"].tolist()
         assert got["changed"].tolist() == exp["c"].tolist()
         assert got["changed"].sum() >= 2  # the decomposed inputs DID change
+
+
+class TestUnigramNLL:
+    def test_unigram_nll_vs_python(self, ray_session, docs_ds, docs_tbl):
+        """Independent in-test recompute: global tf -> quantized per-token
+        information content -> per-doc integer sums."""
+        from collections import Counter
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens
+        from lmss_entity_extractor_ray.ops.lm_score import unigram_nll
+
+        got = (
+            unigram_nll(docs_ds).to_pandas().set_index("doc_id").sort_index()
+        )
+        tf = Counter()
+        docs = {}
+        for d, t in zip(
+            docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist()
+        ):
+            toks = exact_tokens(t)
+            docs[d] = toks
+            tf.update(toks)
+        n = float(sum(tf.values()))
+        q = {t: int(np.floor(100_000.0 * np.log(n / float(c)))) for t, c in tf.items()}
+        for d, toks in docs.items():
+            assert got.loc[d, "n_tokens"] == len(toks)
+            assert got.loc[d, "nll_e5_sum"] == sum(q[t] for t in toks)
+        # rarer tokens carry more bits: docs differ, scores discriminate
+        assert got["nll_e5_sum"].nunique() > 10
