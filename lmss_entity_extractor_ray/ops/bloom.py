@@ -44,6 +44,12 @@ def _positions(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
 def _bloom_block(tbl: pa.Table, key: str, m_bits: int, n_hashes: int) -> np.ndarray:
     words = np.zeros(m_bits // 64, dtype=np.uint64)
     if tbl.num_rows:
+        if not pa.types.is_integer(tbl.schema.field(key).type):
+            raise TypeError(
+                f"build_bloom: key column {key!r} must be integer-typed "
+                f"(got {tbl.schema.field(key).type}); hash string keys to "
+                f"int64 first"
+            )
         pos = _positions(col_np(tbl, key), m_bits, n_hashes).ravel()
         np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
     return words

@@ -1935,3 +1935,88 @@ class TestUnigramNLL:
             assert got.loc[d, "nll_e5_sum"] == sum(q[t] for t in toks)
         # rarer tokens carry more bits: docs differ, scores discriminate
         assert got["nll_e5_sum"].nunique() > 10
+
+
+class TestDecontamEdges:
+    def test_empty_and_short_docs_always_clean(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.decontam import decontaminate
+
+        train = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": ["", "   ", "two tokens", "alpha beta gamma delta"],
+            }
+        )
+        bench = pa.table(
+            {
+                "doc_id": pa.array([99], pa.int64()),
+                "text": ["alpha beta gamma something else entirely"],
+            }
+        )
+        got = sorted(
+            decontaminate(
+                rd.from_arrow(train).repartition(2), rd.from_arrow(bench), shingle_k=3
+            ).to_pandas()["doc_id"].tolist()
+        )
+        # doc 4 shares the 3-gram "alpha beta gamma" -> dropped; empty and
+        # sub-k docs have no shingles -> trivially clean
+        assert got == [1, 2, 3]
+
+    def test_empty_benchmark_keeps_everything(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.decontam import decontaminate
+
+        train = pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()),
+             "text": ["alpha beta gamma", "x y z"]}
+        )
+        bench = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+        got = decontaminate(rd.from_arrow(train), rd.from_arrow(bench)).count()
+        assert got == 2
+
+
+class TestRepetitionFuzz:
+    def test_repetition_matches_python_on_fuzzed_docs(self, ray_session):
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens
+        from lmss_entity_extractor_ray.ops.repetition import repetition_batch
+
+        token = st.text(alphabet="abcXY0-_.é", min_size=0, max_size=4)
+        doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=8))
+        def check(docs):
+            ids = list(range(1, len(docs) + 1))
+            out = repetition_batch(
+                pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs})
+            ).to_pydict()
+
+            def e5(x):
+                return int(np.floor(x * 100000 + 0.5))
+
+            for i, t in enumerate(docs):
+                toks = exact_tokens(t)
+                nt = len(toks)
+                c = Counter(toks)
+                bgs = [" ".join(toks[j : j + 2]) for j in range(nt - 1)]
+                assert out["n_tokens"][i] == nt
+                assert out["distinct_token_frac_e5"][i] == (
+                    e5(len(c) / nt) if nt else 0
+                )
+                assert out["top_token_frac_e5"][i] == (
+                    e5(max(c.values()) / nt) if nt else 0
+                )
+                assert out["dup_bigram_frac_e5"][i] == (
+                    e5(1 - len(set(bgs)) / len(bgs)) if bgs else 0
+                )
+
+        check()
