@@ -155,6 +155,24 @@ def _q_kg_exact_label_hits(sf_dir: str):
     return exact_label_hits(rd.read_parquet(files, columns=["url", "text"]), art)
 
 
+def _q_kg_cooccurrence(sf_dir: str):
+    """Graph materialization: class-co-mention edges with doc counts over
+    the triples.  The triples table is written to a fixed parquet path so
+    the DuckDB oracle computes the SAME co-occurrence over the SAME input —
+    this verifies the pair-emission + exchange independently (the triples
+    themselves are verified by kg_exact_label_hits / the oracle mirror)."""
+    import shutil
+
+    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    triples = _triples_materialized(sf_dir)
+    out = f"/tmp/graft_kg/triples-{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    triples.select_columns(["subj", "obj"]).write_parquet(out)
+    return cooccurrence_edges(triples)
+
+
 def _q_ontology_search(sf_dir: str):
     import pyarrow as pa
 
@@ -812,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_type_histogram": _q_kg_mention_hist,
         "kg_branch_histogram": _q_kg_branch_hist,
         "kg_exact_label_hits": _q_kg_exact_label_hits,
+        "kg_cooccurrence_edges": _q_kg_cooccurrence,
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
         "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
@@ -946,6 +965,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('/tmp/graft_kg/forms.parquet'))
             SELECT DISTINCT c.url, f.iri
             FROM c JOIN f ON contains(c.norm, ' ' || f.form_norm || ' ')
+        """,
+        "kg_cooccurrence_edges": """
+            WITH t AS (
+                SELECT DISTINCT subj, obj
+                FROM read_parquet('/tmp/graft_kg/triples-sf0.01/*.parquet'))
+            SELECT a.obj AS iri_a, b.obj AS iri_b, count(*) AS n_docs
+            FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj
+            GROUP BY 1, 2
         """,
         "doc_dispatch_quarantine": """
             WITH d AS (

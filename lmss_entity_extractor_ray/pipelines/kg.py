@@ -426,3 +426,78 @@ def mention_type_histogram(mentions_ds: rd.Dataset) -> rd.Dataset:
         [("p_n", "sum", "n")],
     )
     return rd.from_arrow(sort_table(final, [("type", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# KG materialization analytics: entity co-occurrence edges
+# ---------------------------------------------------------------------------
+
+def cooccurrence_edges(
+    triples_ds: rd.Dataset, num_partitions: Optional[int] = None
+) -> rd.Dataset:
+    """(iri_a, iri_b, n_docs) — pairs of LMSS classes co-mentioned by the
+    same document, with document counts: the edge-weighting step that turns
+    the per-document triples into an entity GRAPH (the north rule's 'graph
+    materialize').
+
+    Shape: per-block pair emission (triples arrive in doc-aligned blocks —
+    the same contract the in-batch triple dedup relies on — so a document's
+    IRI set is complete within one block; pairs per doc are quadratic in
+    IRIs-per-doc, which is small and bounded by the ontology) followed by
+    ONE hash exchange on the pair key with per-partition Arrow group_by
+    sums — the pair cardinality is ontology-bounded but too large for a
+    driver fold at 10^4+ classes."""
+    import zlib
+
+    import numpy as np
+
+    P = num_partitions or _shuffle_partitions(triples_ds)
+    empty = pa.table(
+        {"iri_a": pa.array([], pa.string()), "iri_b": pa.array([], pa.string()),
+         "p_n": pa.array([], pa.int64()), "part": pa.array([], pa.int32())}
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        t = pa.table({"subj": batch.column("subj"), "obj": batch.column("obj")})
+        t = t.group_by(["subj", "obj"]).aggregate([]).sort_by(
+            [("subj", "ascending"), ("obj", "ascending")]
+        )
+        subj = t.column("subj").combine_chunks()
+        objs = t.column("obj").to_pylist()
+        n = t.num_rows
+        same = np.asarray(pc.equal(subj.slice(1, n - 1), subj.slice(0, n - 1)))
+        starts = np.concatenate(([0], np.nonzero(~same)[0] + 1, [n]))
+        a_out, b_out = [], []
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            row = objs[lo:hi]  # sorted ascending -> emitted pairs have a < b
+            for x in range(len(row)):
+                for y in range(x + 1, len(row)):
+                    a_out.append(row[x])
+                    b_out.append(row[y])
+        if not a_out:
+            return empty
+        t2 = pa.table(
+            {"iri_a": pa.array(a_out, pa.string()), "iri_b": pa.array(b_out, pa.string())}
+        )
+        g = t2.group_by(["iri_a", "iri_b"]).aggregate([([], "count_all")])
+        part = pa.array(
+            [
+                (zlib.crc32(a.encode()) ^ zlib.crc32(b.encode())) % P
+                for a, b in zip(g.column("iri_a").to_pylist(), g.column("iri_b").to_pylist())
+            ],
+            pa.int32(),
+        )
+        return g.rename_columns(["iri_a", "iri_b", "p_n"]).append_column("part", part)
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.group_by(["iri_a", "iri_b"]).aggregate([("p_n", "sum")])
+        return g.rename_columns(["iri_a", "iri_b", "n_docs"])
+
+    return (
+        triples_ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -2020,3 +2020,36 @@ class TestRepetitionFuzz:
                 )
 
         check()
+
+
+class TestCooccurrence:
+    def test_cooccurrence_vs_bruteforce(self, ray_session):
+        import itertools
+        from collections import Counter
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+        # doc-aligned blocks (one doc's triples contiguous in one block) —
+        # the documented input contract, same as the in-batch triple dedup
+        rows = []
+        for d in range(40):
+            iris = [f"iri{(d + j) % 9}" for j in range((d % 4) + 1)]
+            for iri in set(iris):
+                rows.append((f"url{d}", iri))
+        subj = pa.array([r[0] for r in rows], pa.string())
+        obj = pa.array([r[1] for r in rows], pa.string())
+        tbl = pa.table({"subj": subj, "obj": obj})
+        got = cooccurrence_edges(rd.from_arrow(tbl)).to_pandas()
+        got_map = {
+            (a, b): n for a, b, n in zip(got["iri_a"], got["iri_b"], got["n_docs"])
+        }
+        per_doc: dict = {}
+        for s, o in rows:
+            per_doc.setdefault(s, set()).add(o)
+        exp = Counter()
+        for s, os_ in per_doc.items():
+            for a, b in itertools.combinations(sorted(os_), 2):
+                exp[(a, b)] += 1
+        assert got_map == dict(exp)
