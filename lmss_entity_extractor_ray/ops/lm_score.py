@@ -1,7 +1,8 @@
 """Unigram language-model scoring — the CCNet-style perplexity quality
-signal: score each document by its negative log-likelihood under a unigram
-LM fit on the corpus itself.  High-NLL docs are out-of-distribution
-(gibberish, boilerplate soup, wrong language); curation gates on it.
+signal (Wenzek et al., arXiv:1911.00359 filter web text by LM perplexity):
+score each document by its negative log-likelihood under a unigram LM fit
+on the corpus itself.  High-NLL docs are out-of-distribution (gibberish,
+boilerplate soup, wrong language); curation gates on it.
 
 Two passes:
 1. global token counts — per-block Arrow group_by partials folded through
