@@ -491,9 +491,74 @@ def _update_baseline_md(
         f.write(content)
 
 
+# ---------------------------------------------------------------------------
+# large dedup/curation smoke tier (sf0.1's per-query walls are fixed-cost
+# dominated; this tier makes per-op deltas meaningful)
+# ---------------------------------------------------------------------------
+
+def run_smoke(n_docs: int = 200_000) -> dict:
+    """Time the dedup/curation family over an n_docs documents-shaped corpus
+    with injected exact (~3%) and near (~2%) duplicates."""
+    import ray.data as rd
+
+    from lmss_entity_extractor_ray.ops.dedup import (
+        exact_dedup_fulltext,
+        near_dup_pairs_minhash,
+        ngram_jaccard_pairs,
+    )
+    from lmss_entity_extractor_ray.ops.graph import keep_canonical
+    from lmss_entity_extractor_ray.ops.tfidf import tfidf_topk
+    from lmss_entity_extractor_ray.pipelines.corpus import (
+        make_phrase_bank,
+        write_documents_corpus,
+    )
+
+    art = _artifacts()
+    out = f"/tmp/graft_kg/docs-corpus-{n_docs}"
+    files = write_documents_corpus(out, n_docs, seed=42, bank=make_phrase_bank(art))
+
+    def docs():
+        return rd.read_parquet(files, columns=["doc_id", "text"])
+
+    timings: dict = {}
+    counts: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+
+    timed("exact_dedup_fulltext", lambda: exact_dedup_fulltext(docs()).count())
+    timed(
+        "minhash_near_dup_auto",
+        lambda: near_dup_pairs_minhash(
+            docs(), threshold=0.7, max_shingle_freq="auto"
+        ).count(),
+    )
+    timed(
+        "ngram_dedup_canonical",
+        lambda: keep_canonical(
+            docs(),
+            ngram_jaccard_pairs(docs(), threshold=0.7, max_shingle_freq="auto"),
+        ).count(),
+    )
+    timed("tfidf_topk", lambda: tfidf_topk(docs(), k=10).count())
+
+    return {
+        "metric": "smoke_total_sec",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": timings,
+        "rows": counts,
+        "sf": f"docs-{n_docs}",
+        "num_cpus": CPUS,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--smoke", nargs="?", const=200_000, type=int, metavar="NDOCS")
     ap.add_argument("--kg-child", nargs=2, metavar=("CPUS", "NDOCS"))
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
@@ -504,6 +569,15 @@ def main():
 
     if args.scaling:
         print(json.dumps(run_scaling()))
+        return
+
+    if args.smoke:
+        _init_ray(CPUS)
+        result = run_smoke(args.smoke)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))
         return
 
     _init_ray(CPUS)

@@ -521,35 +521,104 @@ def _pair_counts(
     )
 
 
+def hot_shingle_set(sh_ds: rd.Dataset, num_partitions: int, cap: int):
+    """Shingles whose GLOBAL doc-frequency exceeds ``cap``: the same hash
+    exchange as _pair_counts (all copies of a shingle land in one
+    partition, so a partition-local run length IS the global frequency);
+    each partition emits only its over-cap run keys.  Output size is
+    bounded by total_occurrences / cap — the boilerplate vocabulary, small
+    enough to broadcast."""
+    import zlib
+
+    P = num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        col = batch.column("shingle")
+        if pa.types.is_integer(col.type):
+            v = col_np(batch, "shingle", np.uint64)
+            part = (v % np.uint64(P)).astype(np.int32)
+        else:
+            part = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) % P for s in col.to_pylist()),
+                dtype=np.int32,
+                count=batch.num_rows,
+            )
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def hot(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        stype = group.column("shingle").type
+        if n == 0:
+            return pa.table({"s": pa.array([], stype)})
+        t = group.sort_by([("shingle", "ascending")])
+        col = t.column("shingle").combine_chunks()
+        same = np.asarray(pc.equal(col.slice(1, n - 1), col.slice(0, n - 1)))
+        bounds = np.concatenate(([0], np.nonzero(~same)[0] + 1, [n]))
+        lens = np.diff(bounds)
+        keep = bounds[:-1][lens > cap]
+        return pa.table({"s": col.take(pa.array(keep, pa.int64()))})
+
+    parts = [
+        b.column("s")
+        for b in (
+            sh_ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(hot, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+        if b.num_rows
+    ]
+    if not parts:
+        return None
+    return pa.concat_arrays([c.combine_chunks() for c in parts])
+
+
+def _filter_hot(uniq_per_doc, hot_arr, shingle_type: pa.DataType) -> list:
+    """Per-doc shingle lists with globally-hot shingles removed — ONE
+    vectorized Arrow is_in over the batch's concatenated shingles."""
+    lens = [len(u) for u in uniq_per_doc]
+    if not sum(lens):
+        return uniq_per_doc
+    flat = pa.array([s for u in uniq_per_doc for s in u], shingle_type)
+    hit = np.asarray(pc.is_in(flat, value_set=hot_arr))
+    out, off = [], 0
+    for u, ln in zip(uniq_per_doc, lens):
+        out.append([s for s, h in zip(u, hit[off : off + ln]) if not h])
+        off += ln
+    return out
+
+
 def auto_shingle_cap(
     docs_ds: rd.Dataset,
     shingle_k: int = 3,
     floor: int = 128,
-    quantile: float = 0.99,
-    headroom: float = 4.0,
+    pairs_per_doc: float = 20.0,
+    min_budget: int = 5_000_000,
     sample_docs: int = 4096,
     seed: int = 9,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> Optional[int]:
-    """Zero-config ``max_shingle_freq`` for the verification join: estimate
-    the shingle doc-frequency spectrum from a deterministic hash sample and
-    cap at ``headroom ×`` the spectrum's ``quantile``-th frequency (an
-    idf-style rule: the bulk of the spectrum — the J-discriminative
-    shingles — sits far below the cap; only the exceptional boilerplate
-    tail is clipped).  Returns None (fully exact join) when nothing in the
-    sample would be clipped.
+    """Zero-config ``max_shingle_freq`` for the verification join, chosen to
+    fit a PAIR-EMISSION BUDGET: the inverted-index self-join emits
+    m(m-1)/2 rows per shingle of doc-frequency m, so the cap is the largest
+    frequency such that the estimated total emission from all sub-cap
+    shingles stays within ``max(pairs_per_doc × corpus_docs, min_budget)``.
+    (A spectrum-quantile rule was tried first and failed on template-heavy
+    corpora — bimodal spectra put the quantile ON the boilerplate mode.)
 
-    The sample (~``sample_docs`` docs) is collected to the driver — bounded
-    regardless of corpus size, and layout-independent (ops/sampling hash
-    tag), so the chosen cap is reproducible.  A shingle with corpus doc
-    frequency m appears ~Binomial(m, f) times in an f-fraction sample: hot
-    shingles — the only ones a cap can touch — are estimated tightly, rare
-    ones are irrelevant to the choice.  Capping skips per-shingle pair
-    emission of m(m-1)/2 rows for boilerplate n-grams, the one blow-up of
-    the inverted-index self-join on templated corpora (a phrase shared by
-    10^4 docs costs 5·10^7 join rows); the resulting Jaccard is exact over
-    the sub-cap shingle space and never over-estimated (_pair_counts)."""
+    Estimation: a deterministic hash sample of ~``sample_docs`` docs
+    (bounded driver cost, layout-independent).  A shingle with corpus
+    frequency m appears c ~ Binomial(m, f) times in an f-fraction sample:
+    E[c(c-1)] = m(m-1)·f², so ``Σ c(c-1) / (2f²)`` over sampled shingles is
+    an UNBIASED estimate of total pair emission (sampled singletons
+    contribute zero — exactly right, rare shingles are cheap), and ``c/f``
+    estimates each shingle's frequency for the cap threshold.
+
+    Returns None (fully exact join) when even the hottest shingle fits the
+    budget.  Capping only removes non-discriminative intersections: the
+    resulting Jaccard is exact over the sub-cap shingle space and never
+    over-estimated (_pair_counts)."""
     from collections import Counter
 
     total = docs_ds.count()
@@ -575,10 +644,17 @@ def auto_shingle_cap(
             )
     if not freq:
         return None
-    est = np.sort(np.fromiter(freq.values(), dtype=np.float64))[::-1] / frac
-    q = est[min(int(len(est) * (1.0 - quantile)), len(est) - 1)]
-    cap = max(floor, int(np.ceil(headroom * q)))
-    return cap if est[0] > cap else None
+    c = np.sort(np.fromiter(freq.values(), dtype=np.float64))  # ascending
+    est = c / frac                       # estimated corpus frequencies
+    pair_cost = c * (c - 1.0) / (2.0 * frac * frac)
+    budget = max(pairs_per_doc * total, float(min_budget))
+    cum = np.cumsum(pair_cost)
+    if cum[-1] <= budget:
+        return None  # everything fits — exact join
+    # largest prefix of the ascending spectrum that fits the budget
+    idx = int(np.searchsorted(cum, budget, side="right")) - 1
+    cap = int(np.ceil(est[idx])) if idx >= 0 else floor
+    return max(floor, cap)
 
 
 def _resolve_cap(max_shingle_freq, docs_ds: rd.Dataset, shingle_k: int):
@@ -603,35 +679,77 @@ def ngram_jaccard_pairs(
     (unnest + self-join + group by) — this is the driver-checkable oracle for
     the near-dup family, and the same join is what verifies MinHash candidate
     pairs at scale.  Skew note: a shingle shared by m docs emits m² join
-    rows; for corpora with boilerplate n-grams, cap or drop top-frequency
-    shingles on BOTH sides first (idf-style), which only removes
-    non-discriminative intersections — or pass ``max_shingle_freq="auto"``
-    for the sample-estimated zero-config cap (auto_shingle_cap)."""
+    rows; ``max_shingle_freq`` (an int, or "auto" for the pair-budget cap —
+    auto_shingle_cap) switches to the IDF-FILTERED Jaccard: shingles with
+    global doc-frequency > cap are dropped from BOTH the intersections and
+    the per-doc counts (hot_shingle_set pass → filtered emission), so
+    identical documents keep J = 1.0 no matter how much boilerplate they
+    contain.  (Capping only the intersections — the first design — silently
+    collapsed J for boilerplate-heavy true duplicates.)"""
     P = num_partitions or _shuffle_partitions(docs_ds, scale=8.0)
     max_shingle_freq = _resolve_cap(max_shingle_freq, docs_ds, shingle_k)
 
-    def shingle_batch(batch: pa.Table) -> pa.Table:
-        ids, shs, ns = [], [], []
+    def doc_shingles(batch: pa.Table):
+        ids, uniqs = [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
             toks = exact_tokens(text)
             if len(toks) < shingle_k:
                 continue
-            uniq = {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
-            ids.extend([doc_id] * len(uniq))
-            shs.extend(uniq)
-            ns.extend([len(uniq)] * len(uniq))
+            ids.append(doc_id)
+            uniqs.append(
+                sorted(
+                    {" ".join(toks[i : i + shingle_k])
+                     for i in range(len(toks) - shingle_k + 1)}
+                )
+            )
+        return ids, uniqs
+
+    def rows_table(ids, uniqs) -> pa.Table:
+        out_ids, shs, ns = [], [], []
+        for doc_id, u in zip(ids, uniqs):
+            if not u:
+                continue
+            out_ids.extend([doc_id] * len(u))
+            shs.extend(u)
+            ns.extend([len(u)] * len(u))
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": pa.array(out_ids, pa.int64()),
                 "shingle": pa.array(shs, pa.string()),
                 "n_sh": pa.array(ns, pa.int64()),
             }
         )
 
-    sh = docs_ds.map_batches(shingle_batch, batch_format="pyarrow")
-    counts = _pair_counts(sh, P, max_shingle_freq=max_shingle_freq)
+    def shingle_batch(batch: pa.Table) -> pa.Table:
+        return rows_table(*doc_shingles(batch))
+
+    if max_shingle_freq is None:
+        sh = docs_ds.map_batches(shingle_batch, batch_format="pyarrow")
+        counts = _pair_counts(sh, P, max_shingle_freq=None)
+    else:
+        hot = hot_shingle_set(
+            docs_ds.map_batches(shingle_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "shingle"]),
+            P,
+            max_shingle_freq,
+        )
+        if hot is None:
+            sh = docs_ds.map_batches(shingle_batch, batch_format="pyarrow")
+        else:
+            hot_ref = ray.put(hot)
+
+            def filtered_batch(batch: pa.Table) -> pa.Table:
+                ids, uniqs = doc_shingles(batch)
+                return rows_table(
+                    ids, _filter_hot(uniqs, ray.get(hot_ref), pa.string())
+                )
+
+            sh = docs_ds.map_batches(filtered_batch, batch_format="pyarrow")
+        # hot shingles are gone from the stream — every remaining run is
+        # ≤ cap by construction, no skipping needed
+        counts = _pair_counts(sh, P, max_shingle_freq=None)
 
     def finish(batch: pa.Table) -> pa.Table:
         inter = col_np(batch, "inter", np.float64)
@@ -717,21 +835,33 @@ def near_dup_pairs_minhash(
     # sentinel is ~2^-64 and would only add a spurious intersection of 1
     _EMPTY_SENTINEL = -(1 << 62) + 41
 
-    def shingles_of(batch: pa.Table) -> pa.Table:
+    def _shingles_of(batch: pa.Table, hot_ref=None) -> pa.Table:
         wanted = ray.get(need_ref)
         ids_np = col_np(batch, "doc_id")
         pos = np.minimum(np.searchsorted(wanted, ids_np), len(wanted) - 1)
         mask = wanted[pos] == ids_np
         texts = batch.column("text").to_pylist()
-        ids, shs, ns = [], [], []
+        doc_ids, uniqs = [], []
         for i in np.nonzero(mask)[0]:
-            doc_id = int(ids_np[i])
+            doc_ids.append(int(ids_np[i]))
             sh = word_shingles(texts[i], shingle_k)
-            if sh:
-                arr = np.fromiter(sh, dtype=np.uint64, count=len(sh)).astype(np.int64)
-                ids.extend([doc_id] * len(sh))
-                shs.extend(arr.tolist())
-                ns.extend([len(sh)] * len(sh))
+            uniqs.append(
+                sorted(
+                    np.fromiter(sh, dtype=np.uint64, count=len(sh))
+                    .astype(np.int64)
+                    .tolist()
+                )
+                if sh
+                else []
+            )
+        if hot_ref is not None:
+            uniqs = _filter_hot(uniqs, ray.get(hot_ref), pa.int64())
+        ids, shs, ns = [], [], []
+        for doc_id, u in zip(doc_ids, uniqs):
+            if u:
+                ids.extend([doc_id] * len(u))
+                shs.extend(u)
+                ns.extend([len(u)] * len(u))
             else:
                 ids.append(doc_id)
                 shs.append(_EMPTY_SENTINEL)
@@ -744,7 +874,30 @@ def near_dup_pairs_minhash(
             }
         )
 
-    sh = docs_ds.map_batches(shingles_of, batch_format="pyarrow")
+    if max_shingle_freq is None:
+        sh = docs_ds.map_batches(_shingles_of, batch_format="pyarrow")
+    else:
+        # IDF-filtered verification: shingles shared by more than `cap`
+        # CANDIDATE docs (the docs the Jaccard is defined over) are dropped
+        # from both intersections and counts — identical docs keep J = 1.0
+        # regardless of boilerplate (see ngram_jaccard_pairs)
+        raw = docs_ds.map_batches(_shingles_of, batch_format="pyarrow")
+        hot = hot_shingle_set(
+            raw.select_columns(["doc_id", "shingle"]), P, max_shingle_freq
+        )
+        if hot is None:
+            sh = docs_ds.map_batches(_shingles_of, batch_format="pyarrow")
+        else:
+            import functools
+
+            hot_ref = ray.put(hot)
+            sh = docs_ds.map_batches(
+                functools.partial(_shingles_of, hot_ref=hot_ref),
+                batch_format="pyarrow",
+            )
+    # real shingles are all ≤ cap after filtering; the residual cap only
+    # bounds a pathological EMPTY-SENTINEL run (thousands of empty docs
+    # would otherwise pair quadratically — same bound as before)
     counts = _pair_counts(sh, P, max_shingle_freq=max_shingle_freq)
 
     _PAIR_DT = np.dtype([("a", "<i8"), ("b", "<i8")])

@@ -211,3 +211,80 @@ def write_corpus_distributed(
     import glob
 
     return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
+# ---------------------------------------------------------------------------
+# documents-shaped corpus for large-scale dedup/curation smokes
+# ---------------------------------------------------------------------------
+
+def _doc_body(i: int, seed: int, bank: List[str]) -> str:
+    """Pure function of (seed, index) — lets duplicate rows regenerate their
+    SOURCE body without reading other rows (each generator task stays
+    independent)."""
+    rng = random.Random((seed << 33) ^ (i * 2 + 1))
+    return _doc_text(rng, bank)
+
+
+def gen_document_rows(indices, seed: int, bank: List[str]) -> Dict[str, list]:
+    """(doc_id, text, lang) rows with injected duplication: ~3% exact
+    duplicates and ~2% near-duplicates (source body + a small tail) of
+    earlier documents — what a dedup smoke needs to find."""
+    ids, texts, langs = [], [], []
+    for i in indices:
+        i = int(i)
+        rng = random.Random((seed << 34) ^ i)
+        r = rng.random()
+        if i >= 100 and r < 0.03:
+            src = rng.randrange(max(0, i - 5000), i)
+            body = _doc_body(src, seed, bank)          # exact dup
+        elif i >= 100 and r < 0.05:
+            src = rng.randrange(max(0, i - 5000), i)
+            body = _doc_body(src, seed, bank) + " trailing edit note"
+        else:
+            body = _doc_body(i, seed, bank)
+        lr = rng.random()
+        ids.append(i)
+        texts.append(body)
+        langs.append("en" if lr < 0.9 else ("de" if lr < 0.95 else "fr"))
+    return {"doc_id": ids, "text": texts, "lang": langs}
+
+
+DOCUMENTS_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+)
+
+
+def write_documents_corpus(
+    out_dir: str, n: int, seed: int = 42, bank: List[str] = (),
+    rows_per_file: int = 25_000,
+) -> List[str]:
+    """Distributed documents-table generation (same shape as the driver's
+    documents.parquet) for the large dedup/curation smoke tier."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    done_marker = os.path.join(out_dir, f".done-{n}-{seed}")
+    if os.path.exists(done_marker):
+        return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+    bank_ref = ray.put(list(bank))
+
+    def gen_batch(batch: Dict[str, np.ndarray]) -> pa.Table:
+        bank_local = ray.get(bank_ref)
+        cols = gen_document_rows(batch["id"].tolist(), seed, bank_local)
+        return pa.table(
+            {k: pa.array(v, DOCUMENTS_SCHEMA.field(k).type) for k, v in cols.items()}
+        )
+
+    (
+        rd.range(n, override_num_blocks=max(1, n // rows_per_file))
+        .map_batches(gen_batch, batch_format="numpy", batch_size=rows_per_file)
+        .write_parquet(out_dir)
+    )
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))

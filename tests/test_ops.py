@@ -1637,9 +1637,12 @@ class TestAutoShingleCap:
         )
 
         tbl, ds = self._mk_corpus()
-        cap = auto_shingle_cap(ds, shingle_k=3, floor=4, sample_docs=10_000)
-        # every doc shares the 3 boilerplate 3-grams (freq 241 > floor) —
-        # the auto cap must engage and sit below the boilerplate frequency
+        # tight pair budget: the 3 boilerplate 3-grams (freq 241 → ~29k
+        # pairs each) must not fit, the distinct tails must
+        cap = auto_shingle_cap(
+            ds, shingle_k=3, floor=4, sample_docs=10_000,
+            pairs_per_doc=1.0, min_budget=10_000,
+        )
         assert cap is not None and 4 <= cap < 241
         exact = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
         capped = ngram_jaccard_pairs(
@@ -1647,9 +1650,11 @@ class TestAutoShingleCap:
         ).to_pandas()
         exact_pairs = set(zip(exact["a"], exact["b"]))
         capped_pairs = set(zip(capped["a"], capped["b"]))
-        # capping only UNDER-estimates J → capped pairs are a subset…
+        # idf-filtered J: on this corpus the only discriminative overlap is
+        # the dup pair's tail, so no false pairs appear…
         assert capped_pairs <= exact_pairs
         # …and the true near-dup (shares its entire unique tail) survives
+        # even though ALL its boilerplate shingles were dropped
         assert (0, 240) in capped_pairs
 
     def test_auto_cap_none_on_benign_corpus(self, ray_session):
