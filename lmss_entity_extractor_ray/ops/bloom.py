@@ -71,6 +71,9 @@ def build_bloom(
     (false positives only cost exchange bytes, never correctness)."""
     assert m_bits % 64 == 0
     refs = ds.select_columns([key]).to_arrow_refs()
+    if not refs:  # zero-block small side: all-zero bitmap (semi-filter
+        # then correctly drops every big-side row for an inner join)
+        return ray.put(np.zeros(m_bits // 64, dtype=np.uint64))
     parts: List = [_bloom_block.remote(r, key, m_bits, n_hashes) for r in refs]
     while len(parts) > 1:
         nxt = [_bloom_or.remote(*parts[i : i + 8]) for i in range(0, len(parts), 8)]

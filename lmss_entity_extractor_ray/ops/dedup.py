@@ -178,6 +178,31 @@ def _stable_hash(s: str) -> int:
     return (zlib.crc32(b) << 32) | zlib.adler32(b)
 
 
+def _fingerprint64(data: bytes) -> int:
+    """crc32<<32|adler32 of ``data`` in the SIGNED int64 domain (Arrow- and
+    numpy-view-compatible)."""
+    import zlib
+
+    v = (zlib.crc32(data) << 32) | zlib.adler32(data)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _allhot_fp_i64(raw_sorted_i64: np.ndarray) -> int:
+    """Canonical fingerprint of a doc whose shingles are ALL globally hot:
+    identical docs share it (so they still pair at J=1.0 under the
+    IDF-filtered Jaccard), different docs don't (2^-64 collisions, which
+    could only ADD a candidate intersection of 1)."""
+    return _fingerprint64(raw_sorted_i64.tobytes())
+
+
+def _allhot_fp_str(raw_sorted_strs: List[str]) -> str:
+    """String-space twin of ``_allhot_fp_i64`` for the SQL-oracle join.  The
+    NUL prefix cannot be produced by a real shingle unless a document
+    literally contains NUL-prefixed tokens — pathological, and a collision
+    only adds one spurious shared shingle."""
+    return "\x00allhot:%d" % _fingerprint64("\n".join(raw_sorted_strs).encode("utf-8"))
+
+
 def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -201,25 +226,51 @@ class MinHasher:
     Permutation params are built once per actor in __init__; signatures and
     band hashes are computed for the WHOLE batch in a handful of numpy ops
     (one [total_shingles, num_perm] broadcast + minimum.reduceat), not per
-    doc."""
+    doc.
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
+    ``hot_ref``: optional broadcast ref to a SORTED int64 numpy array of
+    globally-hot shingle hashes (doc-frequency > cap).  When set, signatures
+    are computed over the IDF-FILTERED shingle space — banding then reflects
+    DISCRIMINATIVE similarity instead of boilerplate overlap, which on a
+    template-heavy 200k-doc smoke collapsed the candidate population ~1000×
+    (23.7M pairs to keep 18.8k, round-3 measurement).  A doc whose shingles
+    are ALL hot signs over its canonical fingerprint (``_allhot_fp_i64``) so
+    identical boilerplate-only docs still band together; truly empty docs
+    keep the constant empty sentinel."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                 hot_ref=None):
         assert num_perm % bands == 0
         self.a, self.b = _minhash_params(num_perm)
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
+        self.hot: Optional[np.ndarray] = None
+        if hot_ref is not None:
+            hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+            if hot is not None and len(hot):
+                self.hot = np.asarray(hot, dtype=np.int64)  # pre-sorted
+
+    def _doc_shingle_arr(self, text: str) -> np.ndarray:
+        """One doc's signing set as uint64: raw hashed shingles, hot-filtered
+        when a hot set is loaded, with the empty/all-hot sentinel rules."""
+        sh = word_shingles(text, self.shingle_k)
+        if not sh:
+            return np.array([0], dtype=np.uint64)  # empty doc sentinel
+        arr = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        if self.hot is None:
+            return arr
+        ai = arr.view(np.int64)
+        pos = np.minimum(np.searchsorted(self.hot, ai), len(self.hot) - 1)
+        kept = arr[self.hot[pos] != ai]
+        if kept.size:
+            return kept
+        fp = np.array([_allhot_fp_i64(np.sort(ai))], dtype=np.int64)
+        return fp.view(np.uint64)
 
     def _signatures(self, texts) -> np.ndarray:
         """[n_docs, num_perm] uint64 signature matrix, vectorized."""
-        per_doc = []
-        for text in texts:
-            sh = word_shingles(text, self.shingle_k)
-            per_doc.append(
-                np.fromiter(sh, dtype=np.uint64, count=len(sh))
-                if sh
-                else np.array([0], dtype=np.uint64)  # empty doc sentinel
-            )
+        per_doc = [self._doc_shingle_arr(text) for text in texts]
         lens = np.array([len(x) for x in per_doc])
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         h = np.concatenate(per_doc)
@@ -254,16 +305,20 @@ class MinHasher:
 
 
 def _minhash_band_rows(
-    batch: pa.Table, num_perm: int = 64, bands: int = 16, shingle_k: int = 3
+    batch: pa.Table, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+    hot_ref=None,
 ) -> pa.Table:
     """Task-friendly wrapper: params are deterministic from the seed, so
-    rebuilding MinHasher per task costs microseconds."""
-    return MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k)(batch)
+    rebuilding MinHasher per task costs microseconds (the hot array comes
+    zero-copy from the object store)."""
+    return MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                     hot_ref=hot_ref)(batch)
 
 
 def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                             shingle_k: int = 3,
-                            num_partitions: Optional[int] = None) -> rd.Dataset:
+                            num_partitions: Optional[int] = None,
+                            hot_ref=None) -> rd.Dataset:
     """Distinct candidate pairs (a < b) sharing at least one LSH bucket,
     with the number of shared buckets (``n_buckets``).
 
@@ -290,7 +345,8 @@ def minhash_candidate_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
     # ramp-up lag.  Single-file inputs arrive as ONE block — split first so
     # there is parallel work.
     fn = functools.partial(
-        _minhash_band_rows, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        _minhash_band_rows, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        hot_ref=hot_ref,
     )
     band_rows = ds.repartition(cpus * 2).map_batches(fn, batch_format="pyarrow")
 
@@ -434,7 +490,7 @@ def _pair_counts(
     non-discriminative shingles (the result is exact Jaccard over the
     sub-cap shingle space; n_a/n_b still count all shingles, so J is
     under-, never over-estimated).  None (default) = exact."""
-    import zlib
+    from .partitioning import string_partition
 
     P = num_partitions
 
@@ -444,11 +500,7 @@ def _pair_counts(
             v = col_np(batch, "shingle", np.uint64)
             part = (v % np.uint64(P)).astype(np.int32)
         else:
-            part = np.fromiter(
-                (zlib.crc32(s.encode("utf-8")) % P for s in col.to_pylist()),
-                dtype=np.int32,
-                count=batch.num_rows,
-            )
+            part = string_partition(col, P)
         return batch.append_column("part", pa.array(part, pa.int32()))
 
     def emit_partition_pairs(group: pa.Table) -> pa.Table:
@@ -528,7 +580,7 @@ def hot_shingle_set(sh_ds: rd.Dataset, num_partitions: int, cap: int):
     each partition emits only its over-cap run keys.  Output size is
     bounded by total_occurrences / cap — the boilerplate vocabulary, small
     enough to broadcast."""
-    import zlib
+    from .partitioning import string_partition
 
     P = num_partitions
 
@@ -538,11 +590,7 @@ def hot_shingle_set(sh_ds: rd.Dataset, num_partitions: int, cap: int):
             v = col_np(batch, "shingle", np.uint64)
             part = (v % np.uint64(P)).astype(np.int32)
         else:
-            part = np.fromiter(
-                (zlib.crc32(s.encode("utf-8")) % P for s in col.to_pylist()),
-                dtype=np.int32,
-                count=batch.num_rows,
-            )
+            part = string_partition(col, P)
         return batch.append_column("part", pa.array(part, pa.int32()))
 
     def hot(group: pa.Table) -> pa.Table:
@@ -684,8 +732,13 @@ def ngram_jaccard_pairs(
     global doc-frequency > cap are dropped from BOTH the intersections and
     the per-doc counts (hot_shingle_set pass → filtered emission), so
     identical documents keep J = 1.0 no matter how much boilerplate they
-    contain.  (Capping only the intersections — the first design — silently
-    collapsed J for boilerplate-heavy true duplicates.)"""
+    contain — including docs whose shingles are ALL hot, which emit a
+    canonical fingerprint shingle (_allhot_fp_str) instead of vanishing
+    from the stream.  Groups of identical all-hot docs larger than the cap
+    are intentionally NOT pair-enumerated (quadratic listing of exact
+    duplicates belongs to exact_dedup_fulltext).  (Capping only the
+    intersections — the first design — silently collapsed J for
+    boilerplate-heavy true duplicates.)"""
     P = num_partitions or _shuffle_partitions(docs_ds, scale=8.0)
     max_shingle_freq = _resolve_cap(max_shingle_freq, docs_ds, shingle_k)
 
@@ -742,14 +795,23 @@ def ngram_jaccard_pairs(
 
             def filtered_batch(batch: pa.Table) -> pa.Table:
                 ids, uniqs = doc_shingles(batch)
-                return rows_table(
-                    ids, _filter_hot(uniqs, ray.get(hot_ref), pa.string())
-                )
+                filt = _filter_hot(uniqs, ray.get(hot_ref), pa.string())
+                # a doc whose shingles are ALL hot would otherwise vanish
+                # from the stream (two identical all-boilerplate docs → no
+                # pair); emit its canonical fingerprint instead, so
+                # IDENTICAL all-hot docs keep J = 1.0 while different ones
+                # never pair
+                for i, (r, f) in enumerate(zip(uniqs, filt)):
+                    if r and not f:
+                        filt[i] = [_allhot_fp_str(r)]
+                return rows_table(ids, filt)
 
             sh = docs_ds.map_batches(filtered_batch, batch_format="pyarrow")
-        # hot shingles are gone from the stream — every remaining run is
-        # ≤ cap by construction, no skipping needed
-        counts = _pair_counts(sh, P, max_shingle_freq=None)
+        # hot shingles are gone from the stream — every REAL run is ≤ cap by
+        # construction; the residual cap only bounds identical-fingerprint
+        # runs (a >cap group of identical all-boilerplate docs is exact
+        # duplication — exact_dedup_fulltext's job, not O(m²) pair listing)
+        counts = _pair_counts(sh, P, max_shingle_freq=max_shingle_freq)
 
     def finish(batch: pa.Table) -> pa.Table:
         inter = col_np(batch, "inter", np.float64)
@@ -773,6 +835,31 @@ def ngram_jaccard_pairs(
     return counts.map_batches(finish, batch_format="pyarrow")
 
 
+def _hashed_shingle_rows(batch: pa.Table, shingle_k: int = 3) -> pa.Table:
+    """(doc_id, shingle int64) rows over the RAW hashed shingle space — the
+    input to the global hot-set pass.  Shingles are per-doc DISTINCT
+    (word_shingles returns a set), so a partition-local run length in
+    hot_shingle_set IS the global doc-frequency.  Empty docs emit nothing
+    (they can never make a shingle hot)."""
+    ids_np = col_np(batch, "doc_id")
+    texts = batch.column("text").to_pylist()
+    out_ids, shs = [], []
+    for did, text in zip(ids_np, texts):
+        sh = word_shingles(text, shingle_k)
+        if not sh:
+            continue
+        arr = np.fromiter(sh, dtype=np.uint64, count=len(sh)).view(np.int64)
+        out_ids.append(np.full(arr.size, did, dtype=np.int64))
+        shs.append(arr)
+    if not shs:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "shingle": pa.array([], pa.int64())})
+    return pa.table(
+        {"doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+         "shingle": pa.array(np.concatenate(shs), pa.int64())}
+    )
+
+
 def near_dup_pairs_minhash(
     docs_ds: rd.Dataset,
     threshold: float = 0.7,
@@ -786,86 +873,109 @@ def near_dup_pairs_minhash(
     """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard —
     fully distributed, end to end:
 
+      0. (capped mode only) the global HOT-SHINGLE SET is computed FIRST —
+         one hash exchange over the raw hashed shingle stream, output
+         bounded by occurrences/cap — and broadcast into BOTH the signing
+         stage and the verification join, so candidate generation and
+         verification share one IDF-filtered shingle space.  Banding over
+         raw shingles let boilerplate similarity band template-mates
+         (round-3 smoke: 23.7M candidates to keep 18.8k); signing over the
+         filtered space makes LSH reflect discriminative similarity;
       1. candidate pairs via the banding shuffle (minhash_candidate_pairs),
-         kept in the object store (a template-heavy corpus measured 21M
-         candidate pairs from 195k docs — candidate populations are NOT
-         always driver-sized);
-      2. the distinct candidate DOC IDS (bounded by the corpus, typically
-         far smaller) broadcast once as one sorted int64 array; the shingle
-         pass keeps candidate docs via a vectorized searchsorted, no Python
-         set membership;
+         kept in the object store (candidate populations are NOT always
+         driver-sized);
+      2. candidate DOC IDS: when bounded (≤ broadcast_pairs_limit ids,
+         implied by the pair count) they broadcast once as one sorted int64
+         array and the shingle pass keeps candidate docs via vectorized
+         searchsorted; LARGER candidate sets never touch the driver — the
+         docs are pruned by a distributed left-semi hash_join on doc_id
+         (no driver-side array scales with the corpus);
       3. exact intersection counts via the distributed inverted-index
-         self-join (_pair_counts) — pass ``max_shingle_freq`` on boilerplate
-         corpora (an int, or "auto" for the sample-estimated zero-config
-         cap — auto_shingle_cap; default exact);
+         self-join (_pair_counts) over the same filtered space;
       4. counts ∩ candidates — verification is defined over LSH
          candidates.  Small candidate sets (≤ ``broadcast_pairs_limit``)
          broadcast as ONE sorted structured array and filter inside the
-         finish map (exact, vectorized searchsorted — no Python sets, no
-         extra exchange); larger sets go through the multi-key hash_join
-         (left semi on (a, b)) — a partition-aligned exchange, never a
-         driver set.
+         finish map; larger sets go through the multi-key hash_join
+         (left semi on (a, b)).
 
-    Empty documents (no shingles) minhash to a constant signature, so they
-    are all mutual candidates with J(∅,∅)=1.0 — they carry an n_sh=0
-    sentinel row through the join and are special-cased in the finish."""
+    Sentinel conventions (capped mode): a doc whose shingles are ALL hot
+    carries its canonical fingerprint (_allhot_fp_i64) — identical
+    boilerplate-only docs still pair at J=1.0, different ones don't; truly
+    EMPTY docs keep the constant sentinel and pair mutually at J(∅,∅)=1.0.
+    Fingerprint/sentinel runs longer than the cap are NOT pair-enumerated
+    (they are exact duplicates — quadratic pair listing is
+    exact_dedup_fulltext's job, not the near-dup join's)."""
+    import functools
+
     from .join import hash_join
 
     P = num_partitions or _shuffle_partitions(docs_ds)
-    max_shingle_freq = _resolve_cap(max_shingle_freq, docs_ds, shingle_k)
-    cands = minhash_candidate_pairs(
-        docs_ds, num_perm, bands, shingle_k
-    ).select_columns(["a", "b"]).materialize()
+    cap = _resolve_cap(max_shingle_freq, docs_ds, shingle_k)
 
-    id_parts: List[np.ndarray] = []
-    for blk in cands.iter_batches(batch_format="pyarrow"):
-        if blk.num_rows:
-            id_parts.append(
-                np.unique(np.concatenate([col_np(blk, "a"), col_np(blk, "b")]))
+    hot_ref = None
+    if cap is not None:
+        rows = docs_ds.map_batches(
+            functools.partial(_hashed_shingle_rows, shingle_k=shingle_k),
+            batch_format="pyarrow",
+        )
+        hot = hot_shingle_set(rows, P, cap)
+        if hot is not None:
+            hot_ref = ray.put(
+                np.sort(hot.to_numpy(zero_copy_only=False).astype(np.int64))
             )
-    if not id_parts:
+
+    cands = minhash_candidate_pairs(
+        docs_ds, num_perm, bands, shingle_k, hot_ref=hot_ref
+    ).select_columns(["a", "b"]).materialize()
+    n_pairs = cands.count()  # materialized → metadata only
+    if n_pairs == 0:
         return rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
         )
-    need = np.unique(np.concatenate(id_parts))  # sorted distinct doc ids
-    need_ref = ray.put(need)
+
     # an empty doc emits ONE sentinel row (n_sh=0) so empty-empty candidate
     # pairs survive the join; a real 64-bit shingle hash colliding with the
     # sentinel is ~2^-64 and would only add a spurious intersection of 1
     _EMPTY_SENTINEL = -(1 << 62) + 41
 
-    def _shingles_of(batch: pa.Table, hot_ref=None) -> pa.Table:
-        wanted = ray.get(need_ref)
+    def _shingles_of(batch: pa.Table, need_ref=None) -> pa.Table:
         ids_np = col_np(batch, "doc_id")
-        pos = np.minimum(np.searchsorted(wanted, ids_np), len(wanted) - 1)
-        mask = wanted[pos] == ids_np
+        if need_ref is not None:
+            wanted = ray.get(need_ref)
+            pos = np.minimum(np.searchsorted(wanted, ids_np), len(wanted) - 1)
+            idxs = np.nonzero(wanted[pos] == ids_np)[0]
+        else:
+            idxs = np.arange(len(ids_np))
+        hot = ray.get(hot_ref) if hot_ref is not None else None
         texts = batch.column("text").to_pylist()
-        doc_ids, uniqs = [], []
-        for i in np.nonzero(mask)[0]:
-            doc_ids.append(int(ids_np[i]))
+        ids: List[int] = []
+        shs: List[int] = []
+        ns: List[int] = []
+        for i in idxs:
+            did = int(ids_np[i])
             sh = word_shingles(texts[i], shingle_k)
-            uniqs.append(
-                sorted(
-                    np.fromiter(sh, dtype=np.uint64, count=len(sh))
-                    .astype(np.int64)
-                    .tolist()
-                )
-                if sh
-                else []
-            )
-        if hot_ref is not None:
-            uniqs = _filter_hot(uniqs, ray.get(hot_ref), pa.int64())
-        ids, shs, ns = [], [], []
-        for doc_id, u in zip(doc_ids, uniqs):
-            if u:
-                ids.extend([doc_id] * len(u))
-                shs.extend(u)
-                ns.extend([len(u)] * len(u))
-            else:
-                ids.append(doc_id)
+            if not sh:
+                ids.append(did)
                 shs.append(_EMPTY_SENTINEL)
                 ns.append(0)
+                continue
+            arr = np.sort(
+                np.fromiter(sh, dtype=np.uint64, count=len(sh)).view(np.int64)
+            )
+            if hot is not None:
+                pos2 = np.minimum(np.searchsorted(hot, arr), len(hot) - 1)
+                kept = arr[hot[pos2] != arr]
+            else:
+                kept = arr
+            if kept.size == 0:  # all-hot → canonical fingerprint (n_sh=1)
+                ids.append(did)
+                shs.append(_allhot_fp_i64(arr))
+                ns.append(1)
+            else:
+                ids.extend([did] * kept.size)
+                shs.extend(kept.tolist())
+                ns.extend([kept.size] * kept.size)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -874,34 +984,41 @@ def near_dup_pairs_minhash(
             }
         )
 
-    if max_shingle_freq is None:
-        sh = docs_ds.map_batches(_shingles_of, batch_format="pyarrow")
-    else:
-        # IDF-filtered verification: shingles shared by more than `cap`
-        # CANDIDATE docs (the docs the Jaccard is defined over) are dropped
-        # from both intersections and counts — identical docs keep J = 1.0
-        # regardless of boilerplate (see ngram_jaccard_pairs)
-        raw = docs_ds.map_batches(_shingles_of, batch_format="pyarrow")
-        hot = hot_shingle_set(
-            raw.select_columns(["doc_id", "shingle"]), P, max_shingle_freq
+    if 2 * n_pairs <= broadcast_pairs_limit:
+        # candidate ids bounded by 2·pairs → driver distinct + broadcast
+        id_parts: List[np.ndarray] = []
+        for blk in cands.iter_batches(batch_format="pyarrow"):
+            if blk.num_rows:
+                id_parts.append(
+                    np.unique(np.concatenate([col_np(blk, "a"), col_np(blk, "b")]))
+                )
+        need_ref = ray.put(np.unique(np.concatenate(id_parts)))
+        sh = docs_ds.map_batches(
+            functools.partial(_shingles_of, need_ref=need_ref),
+            batch_format="pyarrow",
         )
-        if hot is None:
-            sh = docs_ds.map_batches(_shingles_of, batch_format="pyarrow")
-        else:
-            import functools
-
-            hot_ref = ray.put(hot)
-            sh = docs_ds.map_batches(
-                functools.partial(_shingles_of, hot_ref=hot_ref),
-                batch_format="pyarrow",
+    else:
+        # corpus-scale candidate population: prune docs by a DISTRIBUTED
+        # left-semi join on doc_id — nothing corpus-sized on the driver
+        def _both_cols(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": pa.concat_arrays(
+                    [b.column("a").combine_chunks(), b.column("b").combine_chunks()]
+                )}
             )
+
+        ids_ds = cands.map_batches(_both_cols, batch_format="pyarrow")
+        cand_docs = hash_join(
+            docs_ds.select_columns(["doc_id", "text"]), ids_ds,
+            on="doc_id", how="left semi", num_partitions=P,
+        )
+        sh = cand_docs.map_batches(_shingles_of, batch_format="pyarrow")
+
     # real shingles are all ≤ cap after filtering; the residual cap only
-    # bounds a pathological EMPTY-SENTINEL run (thousands of empty docs
-    # would otherwise pair quadratically — same bound as before)
-    counts = _pair_counts(sh, P, max_shingle_freq=max_shingle_freq)
+    # bounds pathological EMPTY-SENTINEL / identical-fingerprint runs
+    counts = _pair_counts(sh, P, max_shingle_freq=cap)
 
     _PAIR_DT = np.dtype([("a", "<i8"), ("b", "<i8")])
-    n_pairs = cands.count()  # materialized → metadata only
     if n_pairs <= broadcast_pairs_limit:
         # small-side broadcast: sorted structured array, exact elementwise
         # membership via searchsorted (16 bytes/pair → ≤ 80 MB at the limit)

@@ -109,13 +109,16 @@ def top_tokens(ds: rd.Dataset, k: int = 20, m: int = 512) -> rd.Dataset:
         counts, sort_keys=[("n", "descending"), ("token", "ascending")]
     )
     top = counts.take(order[: min(k, counts.num_rows)])
-    # certificate: every NON-candidate has global count <= N/m, so the top-k
-    # is exact iff there are >= k candidates and the k-th beats that ceiling
+    # certificate: every NON-candidate has global count <= N/m (equality is
+    # reachable: count_b == N_b/m in every block is never a candidate), and
+    # the (count desc, token asc) tie-break means a non-candidate tied at
+    # exactly the ceiling could still belong to the true top-k — so the k-th
+    # candidate must STRICTLY beat the ceiling (integer compare, no float)
     kth = int(top.column("n")[-1].as_py()) if top.num_rows else 0
-    if top.num_rows < k or kth < n_corpus / m:
+    if top.num_rows < k or kth * m <= n_corpus:
         raise ValueError(
             f"top_tokens: cannot certify exactness — k-th candidate count "
-            f"{kth} (of {top.num_rows} candidates) vs non-candidate ceiling "
-            f"{n_corpus / m:.1f}; raise m (was {m})"
+            f"{kth} (of {top.num_rows} candidates) must strictly beat the "
+            f"non-candidate ceiling {n_corpus / m:.1f}; raise m (was {m})"
         )
     return rd.from_arrow(top)

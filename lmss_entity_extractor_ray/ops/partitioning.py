@@ -54,3 +54,46 @@ def shuffle_partitions(
         return max(base, est)
     except Exception:
         return base
+
+
+# ---------------------------------------------------------------------------
+# vectorized exchange-key hashing
+# ---------------------------------------------------------------------------
+#
+# Partition assignment only needs to be DETERMINISTIC ACROSS THE WORKERS OF
+# ONE RUN (all copies of a key must land in the same partition) — the part
+# column never reaches query output, so the hash family is an internal
+# choice.  Strings go through polars' vectorized 64-bit hash (fixed seed ⇒
+# process-independent within a polars version; verified by test); the
+# per-row Python crc32 loop it replaces survives only as the import-failure
+# fallback.
+
+def string_hash64(col, seed: int = 0):
+    """pa.Array/ChunkedArray of strings → uint64 numpy hash, vectorized."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        import polars as pl
+
+        return pl.from_arrow(col).hash(seed=seed).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover - polars is baked into the env
+        import zlib
+
+        return np.fromiter(
+            (zlib.crc32((s or "").encode("utf-8")) for s in col.to_pylist()),
+            dtype=np.uint64,
+            count=len(col),
+        )
+
+
+def string_partition(col, num_partitions: int, seed: int = 0):
+    """int32 partition ids for a string column — one vectorized hash, no
+    per-row Python."""
+    import numpy as np
+
+    return (string_hash64(col, seed=seed) % np.uint64(num_partitions)).astype(
+        np.int32
+    )

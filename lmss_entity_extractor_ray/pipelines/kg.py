@@ -15,7 +15,6 @@ input.
 
 from __future__ import annotations
 
-import zlib
 from typing import Optional
 
 import pyarrow as pa
@@ -157,10 +156,11 @@ def triples_dataset_distinct(
     nparts = 8 * _shuffle_partitions(corpus_ds)
 
     def block_distinct(b: pa.Table) -> pa.Table:
+        from ..ops.partitioning import string_partition
+
         u = pc.unique(b.column("mtext"))
-        parts = [zlib.crc32(t.encode("utf-8")) % nparts for t in u.to_pylist()]
         return pa.table(
-            {"mtext": u, "part": pa.array(parts, pa.int32())}
+            {"mtext": u, "part": pa.array(string_partition(u, nparts), pa.int32())}
         )
 
     linked = (
@@ -447,8 +447,6 @@ def cooccurrence_edges(
     ONE hash exchange on the pair key with per-partition Arrow group_by
     sums — the pair cardinality is ontology-bounded but too large for a
     driver fold at 10^4+ classes."""
-    import zlib
-
     import numpy as np
 
     P = num_partitions or _shuffle_partitions(triples_ds)
@@ -483,13 +481,13 @@ def cooccurrence_edges(
             {"iri_a": pa.array(a_out, pa.string()), "iri_b": pa.array(b_out, pa.string())}
         )
         g = t2.group_by(["iri_a", "iri_b"]).aggregate([([], "count_all")])
-        part = pa.array(
-            [
-                (zlib.crc32(a.encode()) ^ zlib.crc32(b.encode())) % P
-                for a, b in zip(g.column("iri_a").to_pylist(), g.column("iri_b").to_pylist())
-            ],
-            pa.int32(),
-        )
+        from ..ops.partitioning import string_hash64
+
+        hp = (
+            (string_hash64(g.column("iri_a")) ^ string_hash64(g.column("iri_b")))
+            % np.uint64(P)
+        ).astype(np.int32)
+        part = pa.array(hp, pa.int32())
         return g.rename_columns(["iri_a", "iri_b", "p_n"]).append_column("part", part)
 
     def merge(group: pa.Table) -> pa.Table:

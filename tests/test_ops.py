@@ -2058,3 +2058,160 @@ class TestCooccurrence:
             for a, b in itertools.combinations(sorted(os_), 2):
                 exp[(a, b)] += 1
         assert got_map == dict(exp)
+
+
+class TestRound4FilteredMinhash:
+    """Round-4: MinHash signs over the IDF-filtered shingle space; all-hot
+    docs carry canonical fingerprints; the candidate-id broadcast is gone
+    above the pair limit."""
+
+    def _template_corpus(self, n=120, dup_pairs=3):
+        import ray.data as rd
+
+        boiler = ("terms of service privacy policy all rights reserved "
+                  "subscribe to our newsletter follow us on social media")
+        rows, ids = [], []
+        for i in range(n):
+            rows.append(f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d")
+            ids.append(i)
+        # exact near-dup pairs: doc n+j duplicates doc j's text exactly
+        for j in range(dup_pairs):
+            rows.append(rows[j])
+            ids.append(n + j)
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": rows})
+        return tbl, rd.from_arrow(tbl).repartition(4)
+
+    def test_filtered_signing_collapses_candidates(self, ray_session):
+        import numpy as np
+        import ray
+
+        from lmss_entity_extractor_ray.ops.dedup import (
+            _hashed_shingle_rows,
+            hot_shingle_set,
+            minhash_candidate_pairs,
+        )
+
+        tbl, ds = self._template_corpus()
+        raw_cands = minhash_candidate_pairs(ds).to_pandas()
+        rows = ds.map_batches(
+            lambda b: _hashed_shingle_rows(b, shingle_k=3),
+            batch_format="pyarrow",
+        )
+        hot = hot_shingle_set(rows, 8, 20)
+        assert hot is not None and len(hot) > 0
+        hot_ref = ray.put(
+            np.sort(hot.to_numpy(zero_copy_only=False).astype(np.int64))
+        )
+        filt_cands = minhash_candidate_pairs(ds, hot_ref=hot_ref).to_pandas()
+        # raw banding bands template-mates; filtered banding only the dups
+        assert len(filt_cands) < len(raw_cands) / 4
+        got = set(zip(filt_cands["a"], filt_cands["b"]))
+        for j in range(3):
+            assert (j, 120 + j) in got
+
+    def test_minhash_capped_identical_allhot_docs_pair(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import near_dup_pairs_minhash
+
+        boiler = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [boiler] * 2 + [f"{boiler} tail{i}x tail{i}y tail{i}z" for i in range(30)]
+        # docs 0,1: identical, ALL shingles hot once capped; 2..31 unique tails
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(rows)), pa.int64()), "text": rows}
+        )
+        ds = rd.from_arrow(tbl).repartition(3)
+        got = near_dup_pairs_minhash(ds, threshold=0.9, max_shingle_freq=5).to_pandas()
+        pairs = dict(((a, b), j) for a, b, j in
+                     zip(got["a"], got["b"], got["jaccard"]))
+        assert pairs.get((0, 1)) == 1.0  # identical all-hot docs keep J=1.0
+        # different all-hot-prefix docs never pair via the fingerprint
+        for (a, b) in pairs:
+            assert (a, b) == (0, 1) or (a >= 2 and b >= 2)
+
+    def test_ngram_capped_identical_allhot_docs_pair(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import ngram_jaccard_pairs
+
+        boiler = "one two three four five six seven"
+        rows = [boiler] * 2 + [f"{boiler} t{i}a t{i}b t{i}c" for i in range(30)]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(rows)), pa.int64()), "text": rows}
+        )
+        ds = rd.from_arrow(tbl).repartition(3)
+        got = ngram_jaccard_pairs(ds, threshold=0.9, max_shingle_freq=5).to_pandas()
+        assert (0, 1) in set(zip(got["a"], got["b"]))
+        sel = got[(got["a"] == 0) & (got["b"] == 1)]
+        assert sel["jaccard_e5"].iloc[0] == 100_000
+
+    def test_distributed_id_path_matches_broadcast_path(self, ray_session):
+        """broadcast_pairs_limit=0 forces the left-semi join path for both
+        the candidate-doc pruning and the pair verification — results must
+        be identical to the broadcast path."""
+        from lmss_entity_extractor_ray.ops.dedup import near_dup_pairs_minhash
+
+        tbl, ds = self._template_corpus(n=60, dup_pairs=2)
+        a = (near_dup_pairs_minhash(ds, threshold=0.7)
+             .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+        b = (near_dup_pairs_minhash(ds, threshold=0.7, broadcast_pairs_limit=0)
+             .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+        assert a.equals(b)
+        assert {(0, 60), (1, 61)} <= set(zip(a["a"], a["b"]))
+
+
+class TestRound4Advice:
+    def test_top_tokens_kth_equal_ceiling_refused(self, ray_session):
+        """k-th count EXACTLY equal to N/m: previously certified, now must
+        raise (a tied non-candidate could displace it under the
+        tie-break)."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.heavy_hitters import top_tokens
+
+        # block A: 'big' x5 + 3 fillers (local total 8, bar 2 -> 'big' is a
+        # candidate); block B: 12 unique fillers.  N=20, m=4 -> ceiling 5;
+        # the k-th candidate count is exactly 5 == N/m, which a tied
+        # non-candidate could also reach -> must refuse.
+        tbl_a = "big big big big big fa fb fc"
+        tbl_b = " ".join(f"z{j}" for j in range(12))
+        tbl = pa.table(
+            {"doc_id": pa.array([0, 1], pa.int64()), "text": [tbl_a, tbl_b]}
+        )
+        with pytest.raises(ValueError, match="strictly beat"):
+            top_tokens(rd.from_arrow(tbl).repartition(2), k=1, m=4).to_pandas()
+
+    def test_build_bloom_empty_small_side(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.bloom import (
+            bloom_semi_filter,
+            build_bloom,
+        )
+
+        empty = rd.from_arrow(
+            pa.table({"k": pa.array([], pa.int64())})
+        ).filter(lambda r: False)
+        bloom = build_bloom(empty, "k", m_bits=1 << 10)
+        big = rd.from_arrow(
+            pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        )
+        assert bloom_semi_filter(big, bloom, "k", m_bits=1 << 10).count() == 0
+
+    def test_string_partition_deterministic_and_spread(self):
+        import numpy as np
+
+        from lmss_entity_extractor_ray.ops.partitioning import (
+            string_hash64,
+            string_partition,
+        )
+
+        vals = pa.array([f"key-{i}" for i in range(1000)] + ["", "dup", "dup"])
+        p1 = string_partition(vals, 16)
+        p2 = string_partition(vals, 16)
+        assert np.array_equal(p1, p2)
+        assert p1[-1] == p1[-2]  # same string, same partition
+        # all partitions hit on 1000 distinct keys (no degenerate skew)
+        assert len(set(p1.tolist())) == 16
+        h = string_hash64(vals)
+        assert h.dtype == np.uint64
