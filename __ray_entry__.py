@@ -190,22 +190,36 @@ def _q_ontology_search(sf_dir: str):
 
 def _q_doc_dispatch_quarantine(sf_dir: str):
     """Format-dispatch + quarantine stats (reference upload seam S5-S7/M12):
-    deterministic kinds derived from doc_id, payloads from the text column;
-    pdf/docx/unknown kinds quarantine instead of raising."""
+    deterministic kinds derived from doc_id; pdf/docx payloads are REAL
+    files built by the pure-Python writers and parsed back by the real
+    extractors (filetypes.py), so ``n_text_ok`` asserts an exact
+    encode→extract round-trip end to end; only the unsupported kind (md)
+    quarantines — the reference's .doc rejection branch."""
     import pyarrow as pa
 
     from lmss_entity_extractor_ray.ops.combine import combine_partials, sort_table
     from lmss_entity_extractor_ray.sources.documents import extract_documents
+    from lmss_entity_extractor_ray.sources.filetypes import make_docx, make_pdf
 
     _KINDS = ["txt", "html", "pdf", "docx", "md"]
 
     def to_payload(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
+        texts = [(t or "") for t in batch.column("text").to_pylist()]
+        payloads = []
+        for i, t in zip(ids, texts):
+            kind = _KINDS[i % 5]
+            if kind == "pdf":
+                payloads.append(make_pdf(t, compress=(i % 2 == 0)))
+            elif kind == "docx":
+                payloads.append(make_docx(t))
+            else:
+                payloads.append(t.encode("utf-8"))
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "payload": pa.array([(t or "").encode("utf-8") for t in texts], pa.binary()),
+                "orig": pa.array(texts, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
                 "kind": pa.array([_KINDS[i % 5] for i in ids], pa.string()),
             }
         )
@@ -215,13 +229,30 @@ def _q_doc_dispatch_quarantine(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["kind"]).aggregate([([], "count_all"), ("quarantine", "count")])
-        return g.rename_columns(["kind", "p_total", "p_quar"])
+        import pyarrow.compute as pc
+
+        roundtrip_kinds = pa.array(["txt", "pdf", "docx"], pa.string())
+        ok = pc.and_(
+            pc.is_in(batch.column("kind"), value_set=roundtrip_kinds),
+            pc.coalesce(
+                pc.equal(batch.column("text"), batch.column("orig")),
+                pa.scalar(False),
+            ),
+        )
+        batch = batch.append_column("text_ok", pc.cast(ok, pa.int64()))
+        g = batch.group_by(["kind"]).aggregate(
+            [([], "count_all"), ("quarantine", "count"), ("text_ok", "sum")]
+        )
+        return g.rename_columns(["kind", "p_total", "p_quar", "p_ok"])
 
     final = combine_partials(
         extract_documents(ds).map_batches(partial, batch_format="pyarrow"),
         ["kind"],
-        [("p_total", "sum", "n_total"), ("p_quar", "sum", "n_quarantined")],
+        [
+            ("p_total", "sum", "n_total"),
+            ("p_quar", "sum", "n_quarantined"),
+            ("p_ok", "sum", "n_text_ok"),
+        ],
     )
     return sort_table(final, [("kind", "ascending")])
 
@@ -975,13 +1006,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "doc_dispatch_quarantine": """
+            -- pdf/docx extract for REAL (pure-Python codecs, filetypes.py):
+            -- only the unsupported kind quarantines, and every txt/pdf/docx
+            -- row must round-trip encode->extract to the exact source text
             WITH d AS (
                 SELECT CASE doc_id % 5 WHEN 0 THEN 'txt' WHEN 1 THEN 'html'
                             WHEN 2 THEN 'pdf' WHEN 3 THEN 'docx' ELSE 'md' END AS kind
                 FROM documents)
             SELECT kind, count(*) AS n_total,
-                   CAST(SUM(CASE WHEN kind IN ('txt', 'html') THEN 0 ELSE 1 END) AS BIGINT)
-                       AS n_quarantined
+                   CAST(SUM(CASE WHEN kind = 'md' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_quarantined,
+                   CAST(SUM(CASE WHEN kind IN ('txt', 'pdf', 'docx') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_text_ok
             FROM d GROUP BY kind ORDER BY kind
         """,
         "token_counts": f"SELECT doc_id, {_NTOK} AS n_tokens FROM documents",

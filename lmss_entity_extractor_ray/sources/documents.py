@@ -4,11 +4,13 @@ SURVEY.md §2.1 S5-S7, §2.2 M12).
 The reference dispatches on file suffix to txt (raw decode), pdf (PyPDF2
 page concat) and docx (paragraph join) and rejects everything else with an
 HTTP error.  The engine's equivalent is a ``map_batches`` dispatcher over a
-``(doc_key, payload:binary, kind:string)`` table: txt and html decode for
-real; pdf/docx are STUBBED behind the pluggable ``register_extractor`` seam
-(those libraries are absent from this container); unknown kinds land in a
-``quarantine`` column instead of raising — bad rows must never kill a
-100 TB job.
+``(doc_key, payload:binary, kind:string)`` table: txt and html decode raw;
+pdf and docx go through the pure-Python extractors in ``filetypes.py``
+(PyPDF2/python-docx are absent from this container, so both formats are
+re-implemented from the public specs); unknown kinds and malformed payloads
+land in a ``quarantine`` column instead of raising — bad rows must never
+kill a 100 TB job.  ``register_extractor`` remains the seam for plugging in
+richer extractors.
 """
 
 from __future__ import annotations
@@ -40,18 +42,17 @@ def _html(payload: bytes) -> str:
     return html_to_text(payload)
 
 
-def _pdf_stub(payload: bytes) -> str:
-    raise NotImplementedError("pdf extraction requires PyPDF2 (reference app/main.py:216-220)")
-
-
-def _docx_stub(payload: bytes) -> str:
-    raise NotImplementedError("docx extraction requires python-docx (reference app/main.py:221-223)")
-
-
 register_extractor("txt", _txt)
 register_extractor("html", _html)
-register_extractor("pdf", _pdf_stub)
-register_extractor("docx", _docx_stub)
+
+# Real pure-Python PDF/DOCX extraction (filetypes.py re-implements the
+# reference's PyPDF2 page-concat / python-docx paragraph-join from the public
+# file-format specs — app/main.py:216-223); malformed payloads raise and land
+# in quarantine via extract_text's catch-all.
+from .filetypes import extract_docx, extract_pdf  # noqa: E402
+
+register_extractor("pdf", extract_pdf)
+register_extractor("docx", extract_docx)
 
 
 def extract_text(payload: Optional[bytes], kind: str) -> tuple:

@@ -6,20 +6,26 @@ import pytest
 
 class TestDispatcher:
     def _table(self):
+        from lmss_entity_extractor_ray.sources.filetypes import make_docx, make_pdf
+
         return pa.table(
             {
-                "doc_key": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "doc_key": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
                 "payload": pa.array(
                     [
                         b"plain text body",
                         b"<html><body><p>hello <b>world</b></p></body></html>",
-                        b"%PDF-1.4 ...",
-                        b"PK docx bytes",
+                        make_pdf("page one line\nsecond line", compress=True),
+                        make_docx("para one\npara two"),
                         b"legacy",
+                        b"%PDF-1.4 garbage, no objects",
+                        b"PK not a real zip",
                     ],
                     pa.binary(),
                 ),
-                "kind": pa.array(["txt", "html", "pdf", "docx", "doc"], pa.string()),
+                "kind": pa.array(
+                    ["txt", "html", "pdf", "docx", "doc", "pdf", "docx"], pa.string()
+                ),
             }
         )
 
@@ -31,11 +37,16 @@ class TestDispatcher:
         df = extract_documents(rd.from_arrow(self._table())).to_pandas().set_index("doc_key")
         assert df.loc[1, "text"] == "plain text body" and df.loc[1, "quarantine"] is None
         assert df.loc[2, "text"] == "hello world" and df.loc[2, "quarantine"] is None
-        # stubbed formats quarantine instead of raising
-        assert df.loc[3, "text"] is None and "PyPDF2" in df.loc[3, "quarantine"]
-        assert df.loc[4, "text"] is None and "docx" in df.loc[4, "quarantine"]
+        # real pure-Python extraction (reference app/main.py:216-223)
+        assert df.loc[3, "text"] == "page one line\nsecond line"
+        assert df.loc[3, "quarantine"] is None
+        assert df.loc[4, "text"] == "para one\npara two"
+        assert df.loc[4, "quarantine"] is None
         # unknown kind rejected like the reference's .doc branch (app/main.py:224-227)
         assert df.loc[5, "text"] is None and "unsupported" in df.loc[5, "quarantine"]
+        # malformed payloads quarantine instead of killing the job
+        assert df.loc[6, "text"] is None and df.loc[6, "quarantine"]
+        assert df.loc[7, "text"] is None and df.loc[7, "quarantine"]
         assert "payload" not in df.columns  # fat column dropped
 
     def test_register_extractor(self):
