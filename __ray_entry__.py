@@ -392,6 +392,24 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
 
 
+def _q_ivf_index_topk(sf_dir: str):
+    """Persisted partitioned IVF index (the read-pruning ANN scale path):
+    build writes the table hive-partitioned by nearest-centroid cell; the
+    query reads ONLY probed cells.  Probing every cell degenerates to the
+    exact answer, which is what makes the whole build→route→merge machinery
+    SQL-checkable — a lost or duplicated row in the partitioned write breaks
+    the oracle match."""
+    import shutil
+
+    from lmss_entity_extractor_ray.ops.similarity import ivf_build, ivf_query
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/graft_kg/ivf-index-{sf_name}"
+    shutil.rmtree(idx, ignore_errors=True)
+    ivf_build(_read(sf_dir, "embeddings"), idx, n_centroids=8)
+    return ivf_query(idx, _min_vec_query(sf_dir), k=10, n_probe=8)
+
+
 def _q_unigram_nll(sf_dir: str):
     """CCNet-style perplexity signal: per-doc NLL under the corpus's own
     unigram LM (quantize-then-sum so the value oracle is exact)."""
@@ -896,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_multi": _q_ann_topk_multi,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_index_topk": _q_ivf_index_topk,
         "knn_top1": _q_knn_top1,
         "kmeans_clusters": _q_kmeans_clusters,
         # event-time windowed aggregates + temporal joins
@@ -1278,6 +1297,16 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "ann_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                       WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            SELECT e2.vec_id,
+                   CAST(floor(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), q.e)
+                              * 100000 + 0.5) AS BIGINT) AS cos_e5
+            FROM embeddings e2, q
+            ORDER BY cos_e5 DESC, vec_id LIMIT 10
+        """,
+        # full-probe partitioned-index query degenerates to the exact answer
+        "ivf_index_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
                        WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
             SELECT e2.vec_id,

@@ -555,10 +555,83 @@ def run_smoke(n_docs: int = 200_000) -> dict:
     }
 
 
+def run_smoke_sim(n_vecs: int = 1_000_000, dim: int = 64, k: int = 10) -> dict:
+    """Similarity smoke: exact brute-force top-k vs the two approximate
+    scale paths (random-hyperplane LSH buckets, IVF coarse quantizer) over a
+    clustered n_vecs×dim embeddings corpus; reports wall AND recall@k vs the
+    exact answer — the 100-TB story for similarity search is the
+    approximate paths, so they need large-scale recall evidence, not just
+    sf0.01 unit tests."""
+    import shutil
+
+    import numpy as np
+    import ray.data as rd
+
+    from lmss_entity_extractor_ray.ops.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_query,
+        ivf_topk,
+        lsh_topk,
+    )
+    from lmss_entity_extractor_ray.pipelines.corpus import (
+        embedding_rows,
+        write_embeddings_corpus,
+    )
+
+    out = f"/tmp/graft_kg/emb-corpus-{n_vecs}-{dim}"
+    files = write_embeddings_corpus(out, n_vecs, dim=dim)
+
+    def embs():
+        return rd.read_parquet(files, columns=["vec_id", "embedding"])
+
+    # the query is corpus row 123 regenerated locally (pure function of id)
+    q = np.array(embedding_rows(np.array([123]), dim, 64, 42)
+                 .column("embedding").to_pylist()[0], dtype=np.float64)
+
+    timings: dict = {}
+    results: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        results[name] = set(fn().to_pandas()["vec_id"])
+        timings[name] = round(time.perf_counter() - t0, 2)
+
+    timed("ann_topk_exact", lambda: brute_force_topk(embs(), q, k=k))
+    # scan variants: read everything, skip scoring outside candidate buckets
+    timed("lsh_topk", lambda: lsh_topk(embs(), q, k=k, n_planes=6, hamming_radius=2))
+    timed("ivf_topk", lambda: ivf_topk(embs(), q, k=k, n_centroids=64, n_probe=16))
+    # partitioned index: build once (amortized), queries read ONLY probed cells
+    idx = f"/tmp/graft_kg/ivf-index-{n_vecs}-{dim}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    ivf_build(embs(), idx, n_centroids=64)
+    timings["ivf_build"] = round(time.perf_counter() - t0, 2)
+    timed("ivf_query_p8", lambda: ivf_query(idx, q, k=k, n_probe=8))
+    timed("ivf_query_p16", lambda: ivf_query(idx, q, k=k, n_probe=16))
+
+    exact = results["ann_topk_exact"]
+    recall = {
+        name: round(len(results[name] & exact) / max(1, len(exact)), 3)
+        for name in ("lsh_topk", "ivf_topk", "ivf_query_p8", "ivf_query_p16")
+    }
+    return {
+        "metric": "smoke_sim_total_sec",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": timings,
+        "recall_at_k": recall,
+        "k": k,
+        "sf": f"embs-{n_vecs}x{dim}",
+        "num_cpus": CPUS,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--smoke", nargs="?", const=200_000, type=int, metavar="NDOCS")
+    ap.add_argument("--smoke-sim", nargs="?", const=1_000_000, type=int, metavar="NVECS")
     ap.add_argument("--kg-child", nargs=2, metavar=("CPUS", "NDOCS"))
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
@@ -574,6 +647,15 @@ def main():
     if args.smoke:
         _init_ray(CPUS)
         result = run_smoke(args.smoke)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))
+        return
+
+    if args.smoke_sim:
+        _init_ray(CPUS)
+        result = run_smoke_sim(args.smoke_sim)
         import ray
 
         ray.shutdown()

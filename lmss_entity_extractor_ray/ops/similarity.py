@@ -458,3 +458,75 @@ def lsh_topk(
         .sort(["cos_e5", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with a PARTITIONED index — the read-pruning scale path
+# ---------------------------------------------------------------------------
+
+def ivf_build(
+    emb_ds: rd.Dataset, out_dir: str, n_centroids: int = 64, seed: int = 17,
+) -> np.ndarray:
+    """Build a persisted IVF index: assign every vector to its nearest
+    centroid cell and write the table hive-partitioned by ``ivf_cell``
+    (one directory per cell), with the centroids saved alongside.
+
+    This is the similarity design that actually survives 100 TB: the
+    scan-time variants (``ivf_topk``/``lsh_topk``) still READ the whole
+    corpus and only skip scoring, so their wall is I/O-bound at scale —
+    measured at the 1M-vector smoke tier, ``ivf_topk`` is no faster than
+    brute force because per-vector cell assignment (n_centroids dots) costs
+    more than the single query dot it saves.  Partitioning moves the
+    assignment to build time, amortized over all future queries, and makes
+    per-query cost proportional to the PROBED FRACTION OF STORAGE
+    (``n_probe / n_centroids``) — read-side pruning, same idea as parquet
+    column/row-group pruning at the read.
+    """
+    import os
+
+    cents = ivf_centroids(emb_ds, n_centroids=n_centroids, seed=seed)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cents_ref)
+        mat = emb_np(batch)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((mat / norms) @ cs.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int64()))
+
+    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["ivf_cell"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    return cents
+
+
+def ivf_query(
+    index_dir: str, query: Sequence[float], k: int = 10, n_probe: int = 8,
+) -> rd.Dataset:
+    """Query a persisted IVF index: read ONLY the ``n_probe`` cell
+    partitions nearest the query and score them exactly (same float formula
+    as ``brute_force_topk``, so ``n_probe == n_centroids`` reproduces the
+    exact answer bit-for-bit).  I/O per query = probed fraction of the
+    index, independent of corpus size."""
+    import glob
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _unit(np.asarray(query, dtype=np.float64))
+    probe = np.argsort(-(cents @ q))[: min(n_probe, len(cents))]
+    dirs = []
+    for cell in probe:
+        d = os.path.join(index_dir, f"ivf_cell={cell}")
+        if os.path.isdir(d):
+            dirs.append(d)
+    if not dirs:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cos_e5": pa.array([], pa.int64())})
+        )
+    files = sorted(f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet")))
+    return brute_force_topk(
+        rd.read_parquet(files, columns=["vec_id", "embedding"]), q, k=k
+    )

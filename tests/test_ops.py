@@ -443,6 +443,30 @@ class TestSimilarity:
         df2 = ivf_topk(emb_ds, q, k=10, n_centroids=8, n_probe=4).to_pandas()
         assert df.equals(df2)
 
+    def test_ivf_build_query(self, ray_session, emb_ds, emb_tbl, tmp_path):
+        """Partitioned IVF index: full-probe query == exact baseline
+        (same float formula); subset probe reads only probed cell dirs."""
+        import os
+
+        from lmss_entity_extractor_ray.ops.similarity import ivf_build, ivf_query
+
+        idx = str(tmp_path / "ivf")
+        cents = ivf_build(emb_ds, idx, n_centroids=8)
+        assert cents.shape[0] == 8 and os.path.exists(idx + "/centroids.npy")
+        cell_dirs = [d for d in os.listdir(idx) if d.startswith("ivf_cell=")]
+        assert 1 < len(cell_dirs) <= 8
+
+        q = np.array(emb_tbl.column("embedding")[7].as_py(), dtype=np.float64)
+        df = ivf_query(idx, q, k=10, n_probe=8).to_pandas()
+        got = list(zip(df["vec_id"].tolist(), df["cos_e5"].tolist()))
+        assert got == self._brute(emb_tbl, q, 10)
+
+        truth_ids = {i for i, _ in self._brute(emb_tbl, q, 10)}
+        df_sub = ivf_query(idx, q, k=10, n_probe=2).to_pandas()
+        got_ids = set(df_sub["vec_id"].tolist())
+        assert len(got_ids & truth_ids) >= 3
+        assert emb_tbl.column("vec_id")[7].as_py() in got_ids
+
 
 # ---------------------------------------------------------------------------
 # sampling
