@@ -257,6 +257,40 @@ def _q_doc_dispatch_quarantine(sf_dir: str):
     return sort_table(final, [("kind", "ascending")])
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4/RefinedWeb-style line-level exact dedup: documents are re-lined
+    into 10-token lines (the corpus is single-line token soup; the re-line
+    uses the engine-wide trim+\\s+ tokenization so the oracle can rebuild
+    identical lines), then every exact line keeps only its globally-first
+    occurrence and docs are reassembled.  Cites C4 (Raffel et al. 2020
+    §2.2) / RefinedWeb line-dedup."""
+    import pyarrow as pa
+
+    from lmss_entity_extractor_ray.ops.line_dedup import line_dedup
+    from lmss_entity_extractor_ray.ops.text_ops import _tokens_column
+
+    def reline(batch: pa.Table) -> pa.Table:
+        split, trimmed = _tokens_column(batch.column("text"))
+        texts = []
+        for toks, trim in zip(split.to_pylist(), trimmed.to_pylist()):
+            if not trim:
+                texts.append("")
+            else:
+                texts.append(
+                    "\n".join(
+                        " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
+                    )
+                )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(texts, pa.string())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        reline, batch_format="pyarrow"
+    )
+    return line_dedup(ds, min_chars=1)
+
+
 def _q_wordish_token_counts(sf_dir: str):
     from lmss_entity_extractor_ray.ops.text_ops import wordish_token_counts
 
@@ -883,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
         "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
+        "line_dedup": _q_line_dedup,
         "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
         # text analysis
         "token_counts": _q_token_counts,
@@ -1038,6 +1073,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN kind IN ('txt', 'pdf', 'docx') THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_text_ok
             FROM d GROUP BY kind ORDER BY kind
+        """,
+        "line_dedup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text, '')),
+                                                       '\\s+') END AS t
+                FROM documents),
+            lines AS (
+                SELECT doc_id, g.i AS line_no,
+                       array_to_string(t[(g.i*10+1):((g.i+1)*10)], ' ') AS line
+                FROM toks,
+                     unnest(generate_series(0, CAST(ceil(len(t)/10.0) AS BIGINT) - 1))
+                         AS g(i)
+                WHERE len(t) > 0),
+            marked AS (
+                SELECT doc_id, line_no, line,
+                       (min(doc_id*1048576 + line_no) OVER (PARTITION BY line))
+                           = doc_id*1048576 + line_no AS kept
+                FROM lines),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY line_no)
+                           FILTER (WHERE kept) AS text,
+                       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_removed
+                FROM marked GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.text, '') AS text,
+                   coalesce(a.n_removed, 0) AS n_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "token_counts": f"SELECT doc_id, {_NTOK} AS n_tokens FROM documents",
         "wordish_token_counts": """

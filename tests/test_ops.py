@@ -2239,3 +2239,109 @@ class TestRound4Advice:
         assert len(set(p1.tolist())) == 16
         h = string_hash64(vals)
         assert h.dtype == np.uint64
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (C4 / RefinedWeb)
+# ---------------------------------------------------------------------------
+
+class TestLineDedup:
+    @staticmethod
+    def _oracle(docs, min_chars=1):
+        """First-occurrence line dedup, brute force."""
+        first = {}
+        for d, t in sorted(docs):
+            for i, line in enumerate(t.split("\n")):
+                if len(line) >= min_chars and line not in first:
+                    first[line] = (d, i)
+        res = {}
+        for d, t in docs:
+            kept, rem = [], 0
+            for i, line in enumerate(t.split("\n")):
+                if len(line) < min_chars or first[line] == (d, i):
+                    kept.append(line)
+                else:
+                    rem += 1
+            res[d] = ("\n".join(kept), rem)
+        return res
+
+    def _check(self, docs, out):
+        exp = self._oracle(docs)
+        assert len(out) == len(docs)
+        for d in out.index:
+            assert out.loc[d, "text"] == exp[d][0], (d, out.loc[d, "text"], exp[d][0])
+            assert out.loc[d, "n_removed"] == exp[d][1]
+
+    def test_golden(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.line_dedup import line_dedup
+
+        docs = [
+            (0, "alpha\nbeta\ngamma"),
+            (1, "beta\ndelta"),            # cross-doc dup
+            (2, "alpha\nalpha\nx"),        # intra-doc dup + cross-doc dup
+            (3, ""),                       # empty doc survives as one row
+            (4, "\n\n"),                   # sub-min_chars lines never removed
+            (5, "gamma\nbeta\nzeta"),
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+        out = line_dedup(rd.from_arrow(tbl), min_chars=1).to_pandas().set_index("doc_id")
+        self._check(docs, out)
+
+    def test_fuzz_vs_bruteforce_multiblock(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.line_dedup import line_dedup
+
+        rng = random.Random(3)
+        words = ["aa", "bb", "cc", "dd", "ee"]
+        docs = [
+            (
+                i,
+                "\n".join(
+                    " ".join(rng.choices(words, k=rng.randrange(1, 4)))
+                    for _ in range(rng.randrange(0, 6))
+                ),
+            )
+            for i in range(200)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+        # multi-block layout + small partition count: canonical choice must
+        # be layout-independent
+        out = (
+            line_dedup(rd.from_arrow(tbl).repartition(7), min_chars=1, num_partitions=5)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        self._check(docs, out)
+
+    def test_min_chars_gate(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.line_dedup import line_dedup
+
+        docs = [(0, "xx\nlonger line"), (1, "xx\nlonger line")]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+        out = line_dedup(rd.from_arrow(tbl), min_chars=5).to_pandas().set_index("doc_id")
+        # "xx" is below min_chars -> kept in both; "longer line" deduped
+        assert out.loc[0, "text"] == "xx\nlonger line"
+        assert out.loc[1, "text"] == "xx"
+        assert out.loc[1, "n_removed"] == 1
