@@ -444,6 +444,66 @@ def _q_ivf_index_topk(sf_dir: str):
     return ivf_query(idx, _min_vec_query(sf_dir), k=10, n_probe=8)
 
 
+_URL_DECOR = ["", "?utm_source=feed&utm_campaign=x", "#frag", "/"]
+
+
+def _q_url_dedup(sf_dir: str):
+    """URL-canonicalization dedup over the crawl corpus: every corpus URL is
+    deterministically decorated (tracking params / fragment / trailing
+    slash, by page number), even pages add a second older-timestamp
+    spelling, and ``url_dedup`` must collapse each canonical URL back to
+    its single latest crawl.  The oracle rebuilds the same variants and the
+    same RE2 canonicalization chain in SQL."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lmss_entity_extractor_ray.ops.url_ops import url_dedup
+
+    files = _corpus_files(sf_dir)
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        urls, tss = [], []
+        for url, ts in zip(
+            batch.column("url").to_pylist(),
+            batch.column("warc_ts").cast(pa.int64()).to_pylist(),
+        ):
+            i = int(url[url.rfind("/") + 1 :])
+            urls.append(url + _URL_DECOR[i % 4])
+            tss.append(ts)
+            if i % 2 == 0:
+                urls.append(url + _URL_DECOR[(i + 1) % 4])
+                tss.append(ts - 1)
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "warc_ts": pa.array(tss, pa.int64())}
+        )
+
+    ds = rd.read_parquet(files, columns=["url", "warc_ts"]).map_batches(
+        decorate, batch_format="pyarrow"
+    )
+    return url_dedup(ds)
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means cluster the embedding space,
+    then inside each cluster drop every vector with a lower-id neighbour at
+    cosine >= tau.  The cluster assignment is written to a fixed parquet
+    path so the DuckDB oracle verifies the within-cluster dominate rule
+    (NOT EXISTS) over the SAME assignment — the dual-read pattern used by
+    kg_cooccurrence_edges."""
+    import shutil
+
+    from lmss_entity_extractor_ray.ops.semdedup import semdedup
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = semdedup(_read(sf_dir, "embeddings"), n_clusters=8, tau=0.8)
+    path = f"/tmp/graft_kg/semdedup-assign-{sf_name}"
+    shutil.rmtree(path, ignore_errors=True)
+    res = out.materialize()
+    res.select_columns(["vec_id", "cluster_id"]).write_parquet(path)
+    return res
+
+
 def _q_unigram_nll(sf_dir: str):
     """CCNet-style perplexity signal: per-doc NLL under the corpus's own
     unigram LM (quantize-then-sum so the value oracle is exact)."""
@@ -918,6 +978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # document-format dispatch + quarantine (reference upload seam)
         "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
         "line_dedup": _q_line_dedup,
+        "semdedup": _q_semdedup,
+        "url_dedup": _q_url_dedup,
         "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
         # text analysis
         "token_counts": _q_token_counts,
@@ -1369,6 +1431,62 @@ def oracle_sql() -> dict[str, str]:
                               * 100000 + 0.5) AS BIGINT) AS cos_e5
             FROM embeddings e2, q
             ORDER BY cos_e5 DESC, vec_id LIMIT 10
+        """,
+        # same decoration + same RE2 canonicalization chain, rebuilt in SQL
+        "url_dedup": f"""
+            WITH base AS (
+                SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_ts,
+                       CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS i
+                FROM read_parquet('/tmp/graft_kg/corpus-sf0.01-1000-c{ONTOLOGY_CLASSES}/*.parquet')),
+            raw AS (
+                SELECT url || CASE i % 4 WHEN 0 THEN ''
+                              WHEN 1 THEN '?utm_source=feed&utm_campaign=x'
+                              WHEN 2 THEN '#frag' ELSE '/' END AS url,
+                       warc_ts
+                FROM base
+                UNION ALL
+                SELECT url || CASE (i + 1) % 4 WHEN 0 THEN ''
+                              WHEN 1 THEN '?utm_source=feed&utm_campaign=x'
+                              WHEN 2 THEN '#frag' ELSE '/' END AS url,
+                       warc_ts - 1
+                FROM base WHERE i % 2 = 0),
+            canon AS (
+                SELECT regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(regexp_replace(regexp_replace(
+                               url, '#.*', '', 'g'),
+                               '(utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*', '', 'g'),
+                               '&&+', '&', 'g'),
+                               '\\?&', '?', 'g'),
+                               '[?&]+$', '', 'g'),
+                               '/+$', '', 'g') AS canonical_url,
+                       url, warc_ts
+                FROM raw)
+            SELECT canonical_url, url, warc_ts, n_dups FROM (
+                SELECT canonical_url, url, warc_ts,
+                       row_number() OVER (PARTITION BY canonical_url
+                                          ORDER BY warc_ts DESC, url) AS rn,
+                       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+                           AS n_dups
+                FROM canon) WHERE rn = 1
+        """,
+        # dual-read: the within-cluster dominate rule is re-derived in SQL
+        # over the assignment table the Ray side wrote
+        "semdedup": """
+            WITH a AS (SELECT * FROM
+                       read_parquet('/tmp/graft_kg/semdedup-assign-sf0.01/*.parquet')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT a.vec_id, a.cluster_id,
+                   NOT EXISTS (
+                       SELECT 1
+                       FROM a b
+                       JOIN e eb ON eb.vec_id = b.vec_id
+                       JOIN e ea ON ea.vec_id = a.vec_id
+                       WHERE b.cluster_id = a.cluster_id
+                         AND b.vec_id < a.vec_id
+                         AND CAST(floor(list_cosine_similarity(ea.emb, eb.emb)
+                                        * 100000 + 0.5) AS BIGINT) >= 80000
+                   ) AS kept
+            FROM a
         """,
         # full-probe partitioned-index query degenerates to the exact answer
         "ivf_index_topk": """

@@ -2345,3 +2345,153 @@ class TestLineDedup:
         assert out.loc[0, "text"] == "xx\nlonger line"
         assert out.loc[1, "text"] == "xx"
         assert out.loc[1, "n_removed"] == 1
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup)
+# ---------------------------------------------------------------------------
+
+class TestSemDeDup:
+    def test_vs_bruteforce(self, ray_session, emb_ds, emb_tbl):
+        """Dominate rule re-derived brute-force over the op's own clusters."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.semdedup import semdedup
+
+        out = semdedup(emb_ds, n_clusters=4, tau=0.8).to_pandas().set_index("vec_id")
+        ids = np.array(emb_tbl.column("vec_id").to_pylist())
+        mat = np.array(emb_tbl.column("embedding").to_pylist(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        clus = out["cluster_id"].reindex(ids).to_numpy()
+        e5 = np.floor(unit @ unit.T * 100_000 + 0.5).astype(np.int64)
+        for i, v in enumerate(ids):
+            dominated = any(
+                ids[j] < v and clus[j] == clus[i] and e5[i, j] >= 80_000
+                for j in range(len(ids))
+                if j != i
+            )
+            assert out.loc[v, "kept"] == (not dominated), v
+        assert len(out) == len(ids)
+
+    def test_chain_semantics(self, ray_session):
+        """1-2 close, 2-3 close, 1-3 far: the any-lower-id rule drops BOTH 2
+        and 3 (3 is dominated by the already-dropped 2) — order-free, unlike
+        greedy sequential removal."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.semdedup import semdedup
+
+        def v(theta):
+            return [float(np.cos(theta)), float(np.sin(theta))] + [0.0] * 62
+
+        # cos between consecutive ≈ cos(0.4) ≈ 0.921 >= 0.9; ends ≈ cos(0.8) ≈ 0.697 < 0.9
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], pa.int64()),
+                "embedding": pa.array([v(0.0), v(0.4), v(0.8)],
+                                      pa.list_(pa.float32())),
+            }
+        )
+        out = (
+            semdedup(rd.from_arrow(tbl), n_clusters=1, tau=0.9)
+            .to_pandas()
+            .set_index("vec_id")
+        )
+        assert bool(out.loc[1, "kept"]) is True
+        assert bool(out.loc[2, "kept"]) is False
+        assert bool(out.loc[3, "kept"]) is False
+
+    def test_cross_cluster_never_compared(self, ray_session):
+        """Identical vectors in different clusters both survive — the pair
+        is only scored within a cluster (the SemDeDup contract)."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.semdedup import semdedup
+
+        # two tight opposite groups of 8 (enough points that k-means init
+        # lands one centroid in each), exact duplicates within each group
+        rng = np.random.RandomState(5)
+
+        def grp(sign):
+            base = np.zeros(64)
+            base[0] = sign
+            pts = base + 0.01 * rng.standard_normal((4, 64))
+            return np.repeat(pts, 2, axis=0)  # each point duplicated
+
+        mat = np.vstack([grp(1.0), grp(-1.0)])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(16), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        out = (
+            semdedup(rd.from_arrow(tbl), n_clusters=2, tau=0.999)
+            .to_pandas()
+            .set_index("vec_id")
+            .sort_index()
+        )
+        # both groups produced clusters, and each exact-duplicate pair
+        # collapsed to one survivor within its cluster
+        assert out["cluster_id"].nunique() == 2
+        assert int(out["kept"].sum()) == 8
+        # first group's ids and second group's ids are in different clusters
+        assert set(out.loc[:7, "cluster_id"]).isdisjoint(set(out.loc[8:, "cluster_id"]))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup
+# ---------------------------------------------------------------------------
+
+class TestUrlDedup:
+    def test_canonicalization_goldens(self):
+        from lmss_entity_extractor_ray.ops.url_ops import canonical_url
+
+        cases = {
+            "https://a.example/p/1?utm_source=x&utm_campaign=y": "https://a.example/p/1",
+            "https://a.example/p/1#section": "https://a.example/p/1",
+            "https://a.example/p/1/": "https://a.example/p/1",
+            "https://a.example/p?id=3&utm_medium=m&y=2": "https://a.example/p?id=3&y=2",
+            "https://a.example/p?utm_source=x&id=3": "https://a.example/p?id=3",
+            "https://a.example/p?gclid=abc": "https://a.example/p",
+            "https://a.example/p?fbclid=1&utm_a=2#f": "https://a.example/p",
+            "https://a.example/CaseSensitive/Path": "https://a.example/CaseSensitive/Path",
+        }
+        got = canonical_url(pa.array(list(cases.keys()))).to_pylist()
+        assert got == list(cases.values())
+
+    def test_keep_latest_multiblock(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.url_ops import url_dedup
+
+        rows = [
+            ("https://a.example/page/1?utm_source=f", 100),
+            ("https://a.example/page/1#x", 200),
+            ("https://a.example/page/1/", 150),
+            ("https://a.example/page/2", 100),
+            # timestamp tie -> smallest raw url wins
+            ("https://b.example/t#1", 70),
+            ("https://b.example/t#0", 70),
+        ]
+        tbl = pa.table(
+            {
+                "url": pa.array([u for u, _ in rows]),
+                "warc_ts": pa.array([t for _, t in rows], pa.int64()),
+            }
+        )
+        out = (
+            url_dedup(rd.from_arrow(tbl).repartition(4))
+            .to_pandas()
+            .set_index("canonical_url")
+            .sort_index()
+        )
+        assert len(out) == 3
+        assert out.loc["https://a.example/page/1", "url"] == "https://a.example/page/1#x"
+        assert out.loc["https://a.example/page/1", "warc_ts"] == 200
+        assert out.loc["https://a.example/page/1", "n_dups"] == 3
+        assert out.loc["https://b.example/t", "url"] == "https://b.example/t#0"
+        assert out.loc["https://a.example/page/2", "n_dups"] == 1
