@@ -444,6 +444,35 @@ def _q_ivf_index_topk(sf_dir: str):
     return ivf_query(idx, _min_vec_query(sf_dir), k=10, n_probe=8)
 
 
+_MIX_RATES = {"en": 0.5, "de": 0.9, "fr": 0.35, "es": 0.6, "zh": 1.0}
+_MIX_SALT = 7
+
+
+def _q_domain_mix(sf_dir: str):
+    """Training-mixture rebalancing: per-language deterministic sampling
+    rates (the Pile/Dolma per-source-weight pattern) via the Knuth-hash
+    keep rule — map-only, no shuffle, reproducible across layouts."""
+    from lmss_entity_extractor_ray.ops.sampling import weighted_mix
+
+    return weighted_mix(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        _MIX_RATES,
+        group_col="lang",
+        salt=_MIX_SALT,
+    )
+
+
+def _q_gopher_gate(sf_dir: str):
+    """Gopher-rules composite quality gate (Rae et al. 2021 A.1.1) with a
+    per-rule failure bitmask; min_tokens lowered to 20 so the corpus
+    exercises both outcomes."""
+    from lmss_entity_extractor_ray.ops.gopher import gopher_gate
+
+    return gopher_gate(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_tokens=20
+    )
+
+
 _URL_DECOR = ["", "?utm_source=feed&utm_campaign=x", "#frag", "/"]
 
 
@@ -980,6 +1009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "semdedup": _q_semdedup,
         "url_dedup": _q_url_dedup,
+        "gopher_gate": _q_gopher_gate,
+        "domain_mix": _q_domain_mix,
         "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
         # text analysis
         "token_counts": _q_token_counts,
@@ -1431,6 +1462,82 @@ def oracle_sql() -> dict[str, str]:
                               * 100000 + 0.5) AS BIGINT) AS cos_e5
             FROM embeddings e2, q
             ORDER BY cos_e5 DESC, vec_id LIMIT 10
+        """,
+
+        "gopher_gate": """
+            WITH tl AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                         '\\s+'), x -> x <> '') AS t,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(coalesce(text, '')),
+                                                       '\\s+') END AS traw
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS c
+                   FROM (SELECT doc_id, unnest(t) AS term FROM tl) GROUP BY 1, 2),
+            ts AS (SELECT doc_id, SUM(c) AS nt, MAX(c) AS mx FROM tf GROUP BY doc_id),
+            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                   FROM tl, unnest(generate_series(1, len(t) - 1)) AS g(i)
+                   WHERE len(t) >= 2),
+            bgc AS (SELECT doc_id, count(*) AS tot, count(DISTINCT b) AS dst
+                    FROM bg GROUP BY doc_id),
+            sig AS (
+                SELECT tl.doc_id,
+                       COALESCE(ts.nt, 0) AS n_tok,
+                       COALESCE(CAST(floor(ts.mx * 1.0 / ts.nt * 100000 + 0.5)
+                                     AS BIGINT), 0) AS top_e5,
+                       COALESCE(CAST(floor((1.0 - bgc.dst * 1.0 / bgc.tot) * 100000
+                                           + 0.5) AS BIGINT), 0) AS dup_e5,
+                       CASE WHEN COALESCE(ts.nt, 0) = 0 THEN 0
+                            ELSE CAST(floor(length(regexp_replace(coalesce(text, ''),
+                                                                  '\\s', '', 'g')) * 1.0
+                                            / ts.nt * 100000 + 0.5) AS BIGINT) END
+                           AS mean_e5,
+                       CAST(floor((length(coalesce(text, ''))
+                                   - length(replace(coalesce(text, ''), '#', ''))
+                                   + (length(coalesce(text, ''))
+                                      - length(replace(coalesce(text, ''), '...', ''))) / 3)
+                                  * 1.0 / greatest(COALESCE(ts.nt, 0), 1) * 100000 + 0.5)
+                            AS BIGINT) AS sym_e5,
+                       CASE WHEN COALESCE(ts.nt, 0) = 0 THEN 0
+                            ELSE CAST(floor(len(list_filter(traw,
+                                          x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                                            / ts.nt * 100000 + 0.5) AS BIGINT) END
+                           AS alpha_e5,
+                       CAST(contains(' ' || array_to_string(t, ' ') || ' ', ' the ') AS INT)
+                       + CAST(contains(' ' || array_to_string(t, ' ') || ' ', ' be ') AS INT)
+                       + CAST(contains(' ' || array_to_string(t, ' ') || ' ', ' to ') AS INT)
+                       + CAST(contains(' ' || array_to_string(t, ' ') || ' ', ' of ') AS INT)
+                       + CAST(contains(' ' || array_to_string(t, ' ') || ' ', ' and ') AS INT)
+                       + CAST(contains(' ' || array_to_string(t, ' ') || ' ', ' that ') AS INT)
+                       + CAST(contains(' ' || array_to_string(t, ' ') || ' ', ' have ') AS INT)
+                       + CAST(contains(' ' || array_to_string(t, ' ') || ' ', ' with ') AS INT)
+                           AS stop_hits
+                FROM tl
+                LEFT JOIN ts ON tl.doc_id = ts.doc_id
+                LEFT JOIN bgc ON tl.doc_id = bgc.doc_id),
+            marked AS (
+                SELECT doc_id, n_tok,
+                       CASE WHEN n_tok < 20 THEN 1 ELSE 0 END
+                       + CASE WHEN n_tok > 100000 THEN 2 ELSE 0 END
+                       + CASE WHEN mean_e5 < 300000 THEN 4 ELSE 0 END
+                       + CASE WHEN mean_e5 > 1000000 THEN 8 ELSE 0 END
+                       + CASE WHEN sym_e5 > 10000 THEN 16 ELSE 0 END
+                       + CASE WHEN alpha_e5 < 80000 THEN 32 ELSE 0 END
+                       + CASE WHEN stop_hits < 2 THEN 64 ELSE 0 END
+                       + CASE WHEN top_e5 > 20000 THEN 128 ELSE 0 END
+                       + CASE WHEN dup_e5 > 40000 THEN 256 ELSE 0 END AS m
+                FROM sig)
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+                   CAST(m AS BIGINT) AS fail_mask, m = 0 AS keep
+            FROM marked
+        """,
+
+        "domain_mix": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id + 7) * 2654435761) % 4294967296 <
+                  CASE lang WHEN 'de' THEN 3865470566 WHEN 'en' THEN 2147483648 WHEN 'es' THEN 2576980377 WHEN 'fr' THEN 1503238553 WHEN 'zh' THEN 4294967296 ELSE 4294967296 END
         """,
         # same decoration + same RE2 canonicalization chain, rebuilt in SQL
         "url_dedup": f"""

@@ -122,3 +122,42 @@ def dataset_split(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_mix(
+    ds: rd.Dataset,
+    rates: dict,
+    group_col: str = "lang",
+    key: str = "doc_id",
+    salt: int = 0,
+    default_rate: float = 1.0,
+) -> rd.Dataset:
+    """Domain/source mixing: per-group deterministic fraction sampling —
+    keep a row iff ``hash(key, salt) < rates[group] * 2^32``.  This is how
+    training mixtures rebalance source proportions (e.g. The Pile's and
+    Dolma's per-source weights) without a shuffle: map-only, reproducible
+    across runs and layouts, and composable with resume.  Groups absent
+    from ``rates`` sample at ``default_rate``.  SQL parity: same Knuth-hash
+    expression as ``hash_sample``, thresholds precomputed per group."""
+    items = sorted(rates.items())
+    groups = pa.array([g for g, _ in items], pa.string())
+    thresholds = np.array(
+        [min(int(r * _MOD), _MOD) for _, r in items], dtype=np.uint64
+    )
+    default_thr = np.uint64(min(int(default_rate * _MOD), _MOD))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = col_np(batch, key, np.uint64)
+        h = _tag(k, salt)
+        idx = pc.index_in(batch.column(group_col), value_set=groups)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        thr = np.where(
+            np.isnan(idx_np.astype(np.float64)),
+            default_thr,
+            thresholds[np.nan_to_num(idx_np, nan=0).astype(np.int64)],
+        ).astype(np.uint64)
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

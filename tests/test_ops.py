@@ -2495,3 +2495,93 @@ class TestUrlDedup:
         assert out.loc["https://a.example/page/1", "n_dups"] == 3
         assert out.loc["https://b.example/t", "url"] == "https://b.example/t#0"
         assert out.loc["https://a.example/page/2", "n_dups"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Gopher gate + weighted domain mixing
+# ---------------------------------------------------------------------------
+
+class TestGopherGate:
+    def test_rule_bits(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.gopher import gopher_gate
+
+        docs = {
+            0: ("the cat and dog went to that house with style today while "
+                + " ".join(f"word{i}xy" for i in range(30))),  # passes (min_tokens=10)
+            1: "",                                       # empty: bits 0,2,5,6
+            2: "spam spam spam spam spam spam spam spam spam spam spam",  # top-token
+            3: "### ### ... " + "the be to of and that have with more words here "
+               * 3,                                      # symbol ratio
+            4: "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16",  # non-alpha + stopwords
+        }
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+            }
+        )
+        out = (
+            gopher_gate(rd.from_arrow(tbl), min_tokens=10)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert bool(out.loc[0, "keep"]) is True
+        assert out.loc[1, "fail_mask"] & 0b1             # too short
+        assert out.loc[1, "fail_mask"] & (1 << 6)        # no stopwords
+        assert out.loc[2, "fail_mask"] & (1 << 7)        # top-token share
+        assert out.loc[3, "fail_mask"] & (1 << 4)        # symbol ratio
+        assert out.loc[4, "fail_mask"] & (1 << 5)        # alpha fraction
+        assert out.loc[4, "fail_mask"] & (1 << 6)
+        assert not bool(out.loc[1, "keep"])
+
+    def test_mask_zero_iff_keep(self, ray_session, docs_ds):
+        from lmss_entity_extractor_ray.ops.gopher import gopher_gate
+
+        df = gopher_gate(docs_ds, min_tokens=5).to_pandas()
+        assert ((df["fail_mask"] == 0) == df["keep"]).all()
+
+
+class TestWeightedMix:
+    def test_rates_and_determinism(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.sampling import weighted_mix
+
+        n = 10_000
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "lang": pa.array(
+                    [["en", "de", "fr", "xx"][i % 4] for i in range(n)], pa.string()
+                ),
+            }
+        )
+        rates = {"en": 0.5, "de": 1.0, "fr": 0.1}
+        out = (
+            weighted_mix(rd.from_arrow(tbl).repartition(5), rates, salt=7)
+            .to_pandas()
+        )
+        sizes = out.groupby("lang").size()
+        assert sizes["de"] == 2500                     # rate 1.0 keeps all
+        assert sizes["xx"] == 2500                     # default rate 1.0
+        assert abs(sizes["en"] - 1250) < 150           # ~0.5
+        assert abs(sizes["fr"] - 250) < 80             # ~0.1
+        # layout-independence
+        out2 = weighted_mix(rd.from_arrow(tbl), rates, salt=7).to_pandas()
+        assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+    def test_rate_zero_drops_group(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.sampling import weighted_mix
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(100), pa.int64()),
+                "lang": pa.array(["en"] * 50 + ["de"] * 50, pa.string()),
+            }
+        )
+        out = weighted_mix(rd.from_arrow(tbl), {"en": 0.0}, salt=1).to_pandas()
+        assert (out["lang"] == "de").all() and len(out) == 50
