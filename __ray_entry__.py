@@ -462,6 +462,15 @@ def _q_domain_mix(sf_dir: str):
     )
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """Duplicated-substring coverage (ExactSubstr-style, Lee et al. 2022):
+    per-doc fraction of tokens covered by corpus-wide repeated 5-grams,
+    plus the maximal-span count."""
+    from lmss_entity_extractor_ray.ops.substr_dedup import dup_span_stats
+
+    return dup_span_stats(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
+
+
 def _q_gopher_gate(sf_dir: str):
     """Gopher-rules composite quality gate (Rae et al. 2021 A.1.1) with a
     per-rule failure bitmask; min_tokens lowered to 20 so the corpus
@@ -1010,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "url_dedup": _q_url_dedup,
         "gopher_gate": _q_gopher_gate,
+        "dup_span_stats": _q_dup_span_stats,
         "domain_mix": _q_domain_mix,
         "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
         # text analysis
@@ -1538,6 +1548,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ((doc_id + 7) * 2654435761) % 4294967296 <
                   CASE lang WHEN 'de' THEN 3865470566 WHEN 'en' THEN 2147483648 WHEN 'es' THEN 2576980377 WHEN 'fr' THEN 1503238553 WHEN 'zh' THEN 4294967296 ELSE 4294967296 END
+        """,
+
+        "dup_span_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                         '\\s+'), x -> x <> '') AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id, g.i - 1 AS pos,
+                       array_to_string(t[g.i:(g.i+4)], ' ') AS gram
+                FROM toks, unnest(generate_series(1, len(t) - 4)) AS g(i)
+                WHERE len(t) >= 5),
+            cnt AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+            dup AS (SELECT doc_id, pos FROM grams JOIN cnt USING (gram) WHERE c > 1),
+            cov AS (SELECT DISTINCT doc_id, u.tk
+                    FROM dup, unnest(generate_series(pos, pos + 4)) AS u(tk)),
+            runs AS (
+                SELECT doc_id, tk,
+                       tk - row_number() OVER (PARTITION BY doc_id ORDER BY tk)
+                           AS grp
+                FROM cov),
+            agg AS (
+                SELECT doc_id, count(*) AS dup_tokens,
+                       count(DISTINCT grp) AS n_dup_spans
+                FROM runs GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(CASE WHEN len(t) = 0 THEN 0
+                             ELSE floor(coalesce(a.dup_tokens, 0) * 1.0 / len(t)
+                                        * 100000 + 0.5) END AS BIGINT) AS dup_frac_e5
+            FROM toks d LEFT JOIN agg a USING (doc_id)
         """,
         # same decoration + same RE2 canonicalization chain, rebuilt in SQL
         "url_dedup": f"""

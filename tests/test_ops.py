@@ -2585,3 +2585,98 @@ class TestWeightedMix:
         )
         out = weighted_mix(rd.from_arrow(tbl), {"en": 0.0}, salt=1).to_pandas()
         assert (out["lang"] == "de").all() and len(out) == 50
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring coverage (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+class TestDupSpanStats:
+    @staticmethod
+    def _oracle(docs, k):
+        from collections import Counter
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens
+
+        grams = Counter()
+        toks = {d: exact_tokens(t) for d, t in docs}
+        for ts in toks.values():
+            for p in range(max(0, len(ts) - k + 1)):
+                grams[" ".join(ts[p : p + k])] += 1
+        res = {}
+        for d, ts in toks.items():
+            cov = set()
+            for p in range(max(0, len(ts) - k + 1)):
+                if grams[" ".join(ts[p : p + k])] > 1:
+                    cov.update(range(p, p + k))
+            spans, prev = 0, None
+            for t_ in sorted(cov):
+                if prev is None or t_ != prev + 1:
+                    spans += 1
+                prev = t_
+            res[d] = (len(ts), len(cov), spans)
+        return res
+
+    def _check(self, docs, out):
+        exp = self._oracle(docs, self.K)
+        assert len(out) == len(docs)
+        for d in out.index:
+            got = tuple(
+                int(out.loc[d, c]) for c in ("n_tokens", "dup_tokens", "n_dup_spans")
+            )
+            assert got == exp[d], (d, got, exp[d])
+
+    K = 3
+
+    def test_golden(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.substr_dedup import dup_span_stats
+
+        docs = [
+            (0, "a b c d e f g h"),   # shares "c d e" with doc1
+            (1, "x y c d e z w q"),
+            (2, "p q r p q r p q"),   # internal repeats count
+            (3, ""),
+            (4, "one two"),           # shorter than k -> no grams
+            (5, "a b c d e f g h"),   # full duplicate of doc0
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+        out = (
+            dup_span_stats(rd.from_arrow(tbl).repartition(3), k=3, num_partitions=4)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        self._check(docs, out)
+        assert out.loc[5, "dup_frac_e5"] == 100_000  # fully covered
+
+    def test_fuzz_vs_bruteforce(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.substr_dedup import dup_span_stats
+
+        self.K = 4
+        rng = random.Random(11)
+        docs = [
+            (i, " ".join(rng.choices(["aa", "bb", "cc", "dd"], k=rng.randrange(0, 20))))
+            for i in range(150)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+        out = (
+            dup_span_stats(rd.from_arrow(tbl).repartition(6), k=4, num_partitions=5)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        self._check(docs, out)
