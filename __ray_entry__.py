@@ -471,6 +471,36 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental ingest dedup: docs with doc_id%10 < 3 simulate the
+    already-ingested corpus; the query returns the NEW rows (the rest)
+    whose fingerprint is unseen."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lmss_entity_extractor_ray.ops.dedup import exact_dedup_incremental
+
+    def split(batch: pa.Table, want_known: bool) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % 10) < 3
+        return batch.filter(pa.array(mask if want_known else ~mask))
+
+    import functools
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    known = docs.map_batches(
+        functools.partial(split, want_known=True), batch_format="pyarrow"
+    )
+    new = docs.map_batches(
+        functools.partial(split, want_known=False), batch_format="pyarrow"
+    )
+    return exact_dedup_incremental(new, known).select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
 def _q_gopher_gate(sf_dir: str):
     """Gopher-rules composite quality gate (Rae et al. 2021 A.1.1) with a
     per-rule failure bitmask; min_tokens lowered to 20 so the corpus
@@ -1020,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "gopher_gate": _q_gopher_gate,
         "dup_span_stats": _q_dup_span_stats,
+        "dedup_incremental": _q_dedup_incremental,
         "domain_mix": _q_domain_mix,
         "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
         # text analysis
@@ -1582,6 +1613,20 @@ def oracle_sql() -> dict[str, str]:
                              ELSE floor(coalesce(a.dup_tokens, 0) * 1.0 / len(t)
                                         * 100000 + 0.5) END AS BIGINT) AS dup_frac_e5
             FROM toks d LEFT JOIN agg a USING (doc_id)
+        """,
+
+        "dedup_incremental": """
+            WITH fp AS (
+                SELECT doc_id,
+                       sha256(trim(regexp_replace(lower(coalesce(text, '')),
+                                                  '\\s+', ' ', 'g'), ' ')) AS fingerprint
+                FROM documents)
+            SELECT n.doc_id, n.fingerprint
+            FROM fp n
+            WHERE n.doc_id % 10 >= 3
+              AND NOT EXISTS (SELECT 1 FROM fp k
+                              WHERE k.doc_id % 10 < 3
+                                AND k.fingerprint = n.fingerprint)
         """,
         # same decoration + same RE2 canonicalization chain, rebuilt in SQL
         "url_dedup": f"""

@@ -210,6 +210,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pricing_summary",
         "top_customers",
         "events_by_type",
+        # round-4 operators
+        "line_dedup",
+        "dup_span_stats",
+        "semdedup",
+        "url_dedup",
+        "gopher_gate",
+        "domain_mix",
+        "doc_dispatch_quarantine",
+        "ivf_index_topk",
     ):
         timed(name, lambda n=name: _consume_any(qs[n](sf_dir)))
 
@@ -543,6 +552,12 @@ def run_smoke(n_docs: int = 200_000) -> dict:
         ).count(),
     )
     timed("tfidf_topk", lambda: tfidf_topk(docs(), k=10).count())
+
+    from lmss_entity_extractor_ray.ops.line_dedup import line_dedup
+    from lmss_entity_extractor_ray.ops.substr_dedup import dup_span_stats
+
+    timed("line_dedup", lambda: line_dedup(docs()).count())
+    timed("dup_span_stats", lambda: dup_span_stats(docs(), k=8).count())
 
     return {
         "metric": "smoke_total_sec",

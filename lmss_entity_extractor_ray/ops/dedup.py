@@ -1211,3 +1211,34 @@ def embedding_near_dup_pairs(emb_ds: rd.Dataset, threshold: float = 0.95) -> rd.
         for j in range(i, len(refs))
     ]
     return rd.from_arrow_refs(tiles)
+
+
+def exact_dedup_incremental(
+    new_ds: rd.Dataset, known_ds: rd.Dataset, num_partitions=None
+) -> rd.Dataset:
+    """Incremental exact dedup: rows of a NEW shard whose normalized-text
+    fingerprint does not appear in the ALREADY-INGESTED corpus — what a
+    rolling 100 TB ingest runs per arriving shard instead of
+    re-deduplicating the world.  Anti semi-join on the sha256 fingerprint
+    (partition-aligned hash exchange on both sides; the known side ships
+    fingerprints only, never text).  Intra-shard duplicates are left to
+    ``exact_dedup_keep`` — compose known→incremental→within-shard.
+    Output: the surviving new rows plus their fingerprint column."""
+    from .join import hash_join
+    from .text_ops import fingerprint_batch
+
+    def with_fp(batch: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(batch)
+        return batch.append_column("fingerprint", fp.column("fingerprint"))
+
+    new_fp = new_ds.map_batches(with_fp, batch_format="pyarrow")
+    known_fp = known_ds.map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["fingerprint"])
+    return hash_join(
+        new_fp,
+        known_fp,
+        on="fingerprint",
+        how="left anti",
+        num_partitions=num_partitions,
+    )

@@ -16,18 +16,17 @@ flagged (symmetric coverage — the natural "how contaminated is this doc"
 signal), not the remove-all-but-one variant; k is a parameter (the paper's
 50-token threshold ≈ flagging positions whose 50-gram repeats).
 
-Distributed shape: one map emits ``(gram, occ)`` with a block-local
-combine — a gram seen twice WITHIN a block is already known-duplicated, so
-its occurrences short-circuit as flagged and only one multiplicity-carrying
-row per (block, gram) is forwarded; singleton grams forward individually
-(they may match another block).  ONE hash exchange on the gram string
-resolves global counts and flags the forwarded singletons.  Flagged
-positions (duplicate-scale) group to per-doc lists and join back
-partition-aligned; per-doc coverage is a vectorized interval-union over
-sorted positions.  The gram travels as its literal k-token string so the
-operator stays SQL-oracle-checkable (same convention as
-``ngram_jaccard_pairs``; at 100 TB swap the key for its 128-bit hash — the
-grouping is identical for any injective key).
+Distributed shape: one map emits ONE packed row per (block, gram) — the
+gram string, its local occurrence LIST, and its multiplicity — so the
+exchange sorts block-distinct grams, not occurrences (a phrase repeated
+thousands of times inside a block travels once).  ONE hash exchange on the
+gram string resolves global counts and flattens the occurrence lists of
+globally-duplicated grams.  Flagged positions (duplicate-scale) group to
+per-doc lists and join back partition-aligned; per-doc coverage is a
+vectorized interval-union over sorted positions.  The gram travels as its
+literal k-token string so the operator stays SQL-oracle-checkable (same
+convention as ``ngram_jaccard_pairs``; at 100 TB swap the key for its
+128-bit hash — the grouping is identical for any injective key).
 
 Occurrence encoding ``doc_id * 2^20 + pos`` (same bounds as line_dedup).
 """
@@ -50,21 +49,36 @@ POS_CAP = 1 << 20
 
 
 def _doc_grams(texts, ids, k: int):
-    """(gram strings, occ encodings, n_tokens per doc) for one batch."""
-    grams, occs = [], []
-    n_toks = np.zeros(len(ids), dtype=np.int64)
-    for row, (i, t) in enumerate(zip(ids, texts)):
+    """(gram string array, occ encoding array, n_tokens per doc) for one
+    batch — the gram join is ONE vectorized Arrow kernel over k shifted
+    views of the flat token column (the generalization of the bigram trick
+    in ops/repetition.py), with positions straddling a doc boundary masked
+    out; no per-position Python."""
+    toks_flat: list = []
+    lens = np.zeros(len(ids), dtype=np.int64)
+    for row, t in enumerate(texts):
         toks = exact_tokens(t)
-        n_toks[row] = len(toks)
-        if len(toks) < k:
-            continue
-        if len(toks) >= POS_CAP or int(i) >= (1 << 43):
-            raise ValueError("doc too long / id too large for occ encoding")
-        base = int(i) * POS_CAP
-        for p in range(len(toks) - k + 1):
-            grams.append(" ".join(toks[p : p + k]))
-            occs.append(base + p)
-    return grams, occs, n_toks
+        lens[row] = len(toks)
+        toks_flat.extend(toks)
+    if lens.size and lens.max() >= POS_CAP:
+        raise ValueError("doc too long for occ encoding")
+    ids_np = np.asarray(ids, dtype=np.int64)
+    if ids_np.size and ids_np.max() >= (1 << 43):
+        raise ValueError("doc_id too large for occ encoding")
+    total = int(lens.sum())
+    if total < k:
+        return pa.array([], pa.string()), np.array([], dtype=np.int64), lens
+    flat = pa.array(toks_flat, pa.string())
+    n_pos = total - k + 1
+    joined = pc.binary_join_element_wise(
+        *[flat.slice(j, n_pos) for j in range(k)], " "
+    )
+    doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    valid = doc_of[:n_pos] == doc_of[k - 1 :]
+    pos_in_doc = np.arange(n_pos, dtype=np.int64) - starts[doc_of[:n_pos]]
+    occ = ids_np[doc_of[:n_pos]] * POS_CAP + pos_in_doc
+    return pc.filter(joined, pa.array(valid)), occ[valid], lens
 
 
 def dup_span_stats(
@@ -82,76 +96,43 @@ def dup_span_stats(
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         grams, occs, _ = _doc_grams(texts, ids, k)
-        if not grams:
+        if not len(grams):
             return pa.table(
                 {
                     "gram": pa.array([], pa.string()),
-                    "occ": pa.array([], pa.int64()),
+                    "occs": pa.array([], pa.list_(pa.int64())),
                     "cnt": pa.array([], pa.int64()),
-                    "flagged": pa.array([], pa.bool_()),
                     "part": pa.array([], pa.int32()),
                 }
             )
-        t = pa.table(
-            {"gram": pa.array(grams, pa.string()), "occ": pa.array(occs, pa.int64())}
-        )
-        counts = t.group_by(["gram"]).aggregate([([], "count_all")])
-        dups = counts.filter(pc.greater(counts.column("count_all"), pa.scalar(1)))
-        dup_set = dups.column("gram").combine_chunks()
-        isdup = pc.is_in(t.column("gram"), value_set=dup_set)
-        isdup_np = isdup.to_numpy(zero_copy_only=False)
-        # locally-duplicated occurrences are pre-flagged (cnt 0 — their
-        # multiplicity travels on one carrier row per gram); singletons
-        # forward with cnt 1
-        occ_rows = pa.table(
+        # block-local pack: ONE row per (block, gram) carrying its local
+        # occurrence list — the exchange sorts block-distinct grams, not
+        # occurrences (phrase-heavy corpora repeat the same grams
+        # thousands of times per block; measured 18.6M occ rows → ~4M
+        # packed rows on the 200k-doc smoke)
+        t = pa.table({"gram": grams, "occ": pa.array(occs, pa.int64())})
+        g = t.group_by(["gram"]).aggregate([("occ", "list"), ([], "count_all")])
+        res = pa.table(
             {
-                "gram": t.column("gram"),
-                "occ": t.column("occ"),
-                "cnt": pa.array(
-                    np.where(isdup_np, 0, 1).astype(np.int64), pa.int64()
-                ),
-                "flagged": isdup,
+                "gram": g.column("gram"),
+                "occs": g.column("occ_list"),
+                "cnt": g.column("count_all").cast(pa.int64()),
             }
         )
-        carriers = pa.table(
-            {
-                "gram": dups.column("gram"),
-                "occ": pa.array(
-                    np.full(dups.num_rows, -1, dtype=np.int64), pa.int64()
-                ),
-                "cnt": dups.column("count_all").cast(pa.int64()),
-                "flagged": pa.array(np.zeros(dups.num_rows, dtype=bool)),
-            }
-        )
-        res = pa.concat_tables([occ_rows, carriers]).combine_chunks()
         part = string_partition(res.column("gram"), P)
-        # pre-flagged rows need no co-location; spread them uniformly
-        occ_np = res.column("occ").to_numpy(zero_copy_only=False)
-        flag_np = res.column("flagged").to_numpy(zero_copy_only=False)
-        part = np.where(flag_np, (np.abs(occ_np) % P).astype(np.int32), part)
         return res.append_column("part", pa.array(part, pa.int32()))
 
     def resolve(group: pa.Table) -> pa.Table:
-        """Per partition: sum multiplicities per gram; flag forwarded
-        singleton occs of globally-duplicated grams; pass pre-flagged."""
-        pre = group.filter(group.column("flagged"))
-        rest = group.filter(pc.invert(group.column("flagged")))
-        outs = [pre.column("occ")]
-        if rest.num_rows:
-            totals = rest.group_by(["gram"]).aggregate([("cnt", "sum")])
-            dup_grams = totals.filter(
-                pc.greater(totals.column("cnt_sum"), pa.scalar(1))
-            ).column("gram")
-            singles = rest.filter(
-                pc.and_(
-                    pc.is_in(rest.column("gram"), value_set=dup_grams.combine_chunks()),
-                    pc.greater_equal(rest.column("occ"), pa.scalar(0, pa.int64())),
-                )
-            )
-            outs.append(singles.column("occ"))
-        occ = pa.concat_arrays(
-            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in outs]
+        """Per partition: total multiplicity per gram; flatten the
+        occurrence lists of globally-duplicated grams."""
+        totals = group.group_by(["gram"]).aggregate([("cnt", "sum")])
+        dup_grams = totals.filter(
+            pc.greater(totals.column("cnt_sum"), pa.scalar(1))
+        ).column("gram")
+        dup_rows = group.filter(
+            pc.is_in(group.column("gram"), value_set=dup_grams.combine_chunks())
         )
+        occ = dup_rows.column("occs").combine_chunks().flatten()
         occ_np = occ.to_numpy(zero_copy_only=False)
         return pa.table(
             {

@@ -2680,3 +2680,38 @@ class TestDupSpanStats:
             .set_index("doc_id")
         )
         self._check(docs, out)
+
+
+class TestIncrementalDedup:
+    def test_anti_join_semantics(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_dedup_incremental
+
+        known = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["seen before", "also seen"], pa.string()),
+            }
+        )
+        new = pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "text": pa.array(
+                    [
+                        "Seen   BEFORE",       # same normalized fingerprint
+                        "genuinely new",
+                        "also seen",            # exact repeat of known
+                        "genuinely new",        # intra-shard dup: BOTH kept
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = (
+            exact_dedup_incremental(rd.from_arrow(new), rd.from_arrow(known))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["doc_id"].tolist() == [11, 13]
+        assert "fingerprint" in out.columns
