@@ -93,6 +93,21 @@ def mentions_dataset(
     )
 
 
+@ray.remote(num_cpus=1)
+def _combine_vocab(*tables: pa.Table) -> pa.Table:
+    """Concat the matched-vocab shuffle blocks into ONE combined table on a
+    worker (never the driver).  Ray resolves the block refs in-place, the
+    result is a single contiguous object every lookup process maps zero-copy
+    from the object store.  Empty shuffle partitions arrive as schema-less
+    zero-column blocks (Ray internals) — skipped."""
+    from ..stages.kg_stage import MATCH_SCHEMA
+
+    ts = [t for t in tables if t.num_rows > 0 and "mtext" in t.column_names]
+    return (
+        pa.concat_tables(ts).combine_chunks() if ts else MATCH_SCHEMA.empty_table()
+    )
+
+
 def triples_dataset_distinct(
     corpus_ds: rd.Dataset,
     artifacts: OntologyArtifacts,
@@ -173,11 +188,15 @@ def triples_dataset_distinct(
         )
     )
     # small-side broadcast: matched DISTINCT texts only (ontology-bounded).
-    # The driver never concatenates the tables — it only collects the block
-    # REFS; each lookup worker fetches the blocks straight from the object
-    # store and builds its dict once per process (stages/kg_stage._vocab_for),
-    # so the serial driver cost is O(blocks), not O(vocab bytes).
+    # The driver never touches vocab BYTES — it collects the block refs
+    # (cost O(blocks)) and hands them to ONE remote combine task that emits a
+    # single pre-combined Arrow table.  Broadcasting that one object means
+    # every lookup process maps it zero-copy from the object store; the
+    # previous per-process assembly (ray.get of ~200 small blocks + concat,
+    # duplicated in every worker) measured ~4.7 s of the 16-CPU wall on the
+    # 2M-doc scaling corpus and did not shrink with parallelism.
     matched_refs = list(linked.to_arrow_refs())
+    vocab_ref = _combine_vocab.remote(*matched_refs)
     if _phases:
         print(
             f"[kg-phase] distinct-link {time.perf_counter() - _t0:.2f}s "
@@ -185,7 +204,7 @@ def triples_dataset_distinct(
         )
 
     ds = mentions.map_batches(
-        functools.partial(link_lookup_task, matched_ref=matched_refs, cfg=cfg),
+        functools.partial(link_lookup_task, matched_ref=vocab_ref, cfg=cfg),
         batch_format="pyarrow",
         batch_size=None,  # whole doc-aligned blocks → exact per-url dedup
         num_cpus=1,

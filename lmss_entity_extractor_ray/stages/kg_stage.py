@@ -211,11 +211,14 @@ def _vocab_for(matched_ref) -> pa.Table:
         tables = [
             t for t in tables if t.num_rows > 0 and "mtext" in t.column_names
         ]
-        vocab = (
-            pa.concat_tables(tables).combine_chunks()
-            if tables
-            else MATCH_SCHEMA.empty_table()
-        )
+        if not tables:
+            vocab = MATCH_SCHEMA.empty_table()
+        elif len(tables) == 1:
+            # pre-combined broadcast object (pipelines/kg._combine_vocab):
+            # use the plasma-backed table as-is — zero-copy, no heap clone
+            vocab = tables[0]
+        else:
+            vocab = pa.concat_tables(tables).combine_chunks()
         _VOCAB_CACHE.clear()  # one vocab per session is the common case
         _VOCAB_CACHE[key] = vocab
     return vocab
