@@ -471,6 +471,15 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
 
 
+def _q_cut_dup_spans(sf_dir: str):
+    """Destructive ExactSubstr pass (Lee et al. 2022 §3): rebuild each doc
+    with every token covered by a corpus-wide repeated 5-gram removed;
+    output text is in normalized token space (lowercased, space-joined)."""
+    from lmss_entity_extractor_ray.ops.substr_dedup import cut_dup_spans
+
+    return cut_dup_spans(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Incremental ingest dedup: docs with doc_id%10 < 3 simulate the
     already-ingested corpus; the query returns the NEW rows (the rest)
@@ -1050,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "gopher_gate": _q_gopher_gate,
         "dup_span_stats": _q_dup_span_stats,
+        "cut_dup_spans": _q_cut_dup_spans,
         "dedup_incremental": _q_dedup_incremental,
         "domain_mix": _q_domain_mix,
         "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
@@ -1612,6 +1622,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN len(t) = 0 THEN 0
                              ELSE floor(coalesce(a.dup_tokens, 0) * 1.0 / len(t)
                                         * 100000 + 0.5) END AS BIGINT) AS dup_frac_e5
+            FROM toks d LEFT JOIN agg a USING (doc_id)
+        """,
+
+        "cut_dup_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                         '\\s+'), x -> x <> '') AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id, g.i - 1 AS pos,
+                       array_to_string(t[g.i:(g.i+4)], ' ') AS gram
+                FROM toks, unnest(generate_series(1, len(t) - 4)) AS g(i)
+                WHERE len(t) >= 5),
+            cnt AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+            dup AS (SELECT doc_id, pos FROM grams JOIN cnt USING (gram) WHERE c > 1),
+            cov AS (SELECT DISTINCT doc_id, u.tk
+                    FROM dup, unnest(generate_series(pos, pos + 4)) AS u(tk)),
+            flat AS (
+                SELECT doc_id, g.i - 1 AS pos, t[g.i] AS tok
+                FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+            kept AS (
+                SELECT f.doc_id, f.pos, f.tok
+                FROM flat f LEFT JOIN cov c
+                  ON f.doc_id = c.doc_id AND f.pos = c.tk
+                WHERE c.doc_id IS NULL),
+            agg AS (
+                SELECT doc_id, count(*) AS kept_tokens,
+                       string_agg(tok, ' ' ORDER BY pos) AS text_cut
+                FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+                   coalesce(a.text_cut, '') AS text_cut
             FROM toks d LEFT JOIN agg a USING (doc_id)
         """,
 

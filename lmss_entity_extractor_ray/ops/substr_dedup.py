@@ -81,16 +81,18 @@ def _doc_grams(texts, ids, k: int):
     return pc.filter(joined, pa.array(valid)), occ[valid], lens
 
 
-def dup_span_stats(
+def _dup_pos_lists(
     docs_ds: rd.Dataset,
-    k: int = 8,
-    num_partitions: Optional[int] = None,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    k: int,
+    P: int,
+    id_col: str,
+    text_col: str,
 ) -> rd.Dataset:
-    """(doc_id, text) → (doc_id, n_tokens, dup_tokens, n_dup_spans,
-    dup_frac_e5): corpus-wide duplicated-substring coverage."""
-    P = max(2, num_partitions or shuffle_partitions(docs_ds, scale=6.0))
+    """Shared core of the ExactSubstr family: (doc_id, dup_pos) where
+    ``dup_pos`` is the sorted csv of token positions that START a
+    corpus-wide duplicated k-gram.  One hash exchange on the gram string
+    (block-packed, see module docstring), flagged positions grouped per
+    doc — both stages carry duplicate-scale rows only."""
 
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -155,7 +157,20 @@ def dup_span_stats(
         )
         return pa.table({"doc_id": g.column("doc_id"), "dup_pos": csv})
 
-    pos_lists = flagged.groupby("doc_id").map_groups(to_lists, batch_format="pyarrow")
+    return flagged.groupby("doc_id").map_groups(to_lists, batch_format="pyarrow")
+
+
+def dup_span_stats(
+    docs_ds: rd.Dataset,
+    k: int = 8,
+    num_partitions: Optional[int] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """(doc_id, text) → (doc_id, n_tokens, dup_tokens, n_dup_spans,
+    dup_frac_e5): corpus-wide duplicated-substring coverage."""
+    P = max(2, num_partitions or shuffle_partitions(docs_ds, scale=6.0))
+    pos_lists = _dup_pos_lists(docs_ds, k, P, id_col, text_col)
 
     joined = hash_join(
         docs_ds, pos_lists, on=id_col, right_on="doc_id", how="left outer"
@@ -195,3 +210,64 @@ def dup_span_stats(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def cut_dup_spans(
+    docs_ds: rd.Dataset,
+    k: int = 8,
+    num_partitions: Optional[int] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Destructive ExactSubstr pass (Lee et al. 2022 §3's actual dedup, cf.
+    reference `app/entity_extraction.py` span-merge discipline for the
+    interval handling): (doc_id, text) → (doc_id, n_tokens, kept_tokens,
+    text_cut) where ``text_cut`` is the document REBUILT with every token
+    covered by a corpus-wide duplicated k-gram removed (the symmetric
+    remove-ALL-occurrences variant — see module docstring; line_dedup is
+    the keep-first sibling).
+
+    Output text lives in normalized token space (lowercased,
+    whitespace-joined) — the same space the duplication analysis runs in,
+    and exactly what the SQL oracle's string_agg rebuild produces.  Same
+    distributed shape as dup_span_stats: the exchanges carry block-distinct
+    grams and duplicate-scale positions; the corpus itself is touched by
+    exactly one map (emit) and one partition-aligned join + map (rebuild)."""
+    P = max(2, num_partitions or shuffle_partitions(docs_ds, scale=6.0))
+    pos_lists = _dup_pos_lists(docs_ds, k, P, id_col, text_col)
+
+    joined = hash_join(
+        docs_ds, pos_lists, on=id_col, right_on="doc_id", how="left outer"
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        poss = batch.column("dup_pos").to_pylist()
+        n_tok = np.zeros(len(ids), dtype=np.int64)
+        kept_n = np.zeros(len(ids), dtype=np.int64)
+        out_text = []
+        for row, (t, pl) in enumerate(zip(texts, poss)):
+            toks = exact_tokens(t)
+            n_tok[row] = len(toks)
+            if not pl:
+                kept_n[row] = len(toks)
+                out_text.append(" ".join(toks))
+                continue
+            covered = np.zeros(len(toks), dtype=bool)
+            for s in pl.split(","):
+                start = int(s)
+                covered[start : start + k] = True
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            kept_n[row] = len(kept)
+            out_text.append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "kept_tokens": pa.array(kept_n, pa.int64()),
+                "text_cut": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

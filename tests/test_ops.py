@@ -2682,6 +2682,94 @@ class TestDupSpanStats:
         self._check(docs, out)
 
 
+class TestCutDupSpans:
+    @staticmethod
+    def _oracle(docs, k):
+        from collections import Counter
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens
+
+        grams = Counter()
+        toks = {d: exact_tokens(t) for d, t in docs}
+        for ts in toks.values():
+            for p in range(max(0, len(ts) - k + 1)):
+                grams[" ".join(ts[p : p + k])] += 1
+        res = {}
+        for d, ts in toks.items():
+            cov = set()
+            for p in range(max(0, len(ts) - k + 1)):
+                if grams[" ".join(ts[p : p + k])] > 1:
+                    cov.update(range(p, p + k))
+            kept = [t for i, t in enumerate(ts) if i not in cov]
+            res[d] = (len(ts), len(kept), " ".join(kept))
+        return res
+
+    def _check(self, docs, out, k):
+        exp = self._oracle(docs, k)
+        assert len(out) == len(docs)
+        for d in out.index:
+            got = (
+                int(out.loc[d, "n_tokens"]),
+                int(out.loc[d, "kept_tokens"]),
+                out.loc[d, "text_cut"],
+            )
+            assert got == exp[d], (d, got, exp[d])
+
+    def test_golden(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.substr_dedup import cut_dup_spans
+
+        docs = [
+            (0, "a b c d e f g h"),   # shares "c d e" with doc1 -> both cut
+            (1, "x y c d e z w q"),
+            (2, "p q r p q r p q"),   # internal repeats cut everywhere
+            (3, ""),
+            (4, "one two"),           # shorter than k -> untouched
+            (5, "a b c d e f g h"),   # full duplicate of doc0 -> emptied
+            (6, "MiXeD   Case\ttokens"),  # normalization-only rebuild
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+        out = (
+            cut_dup_spans(rd.from_arrow(tbl).repartition(3), k=3, num_partitions=4)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        self._check(docs, out, 3)
+        assert out.loc[5, "text_cut"] == ""  # fully duplicated doc emptied
+        assert out.loc[6, "text_cut"] == "mixed case\ttokens".replace("\t", " ")
+
+    def test_fuzz_vs_bruteforce(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.substr_dedup import cut_dup_spans
+
+        rng = random.Random(13)
+        docs = [
+            (i, " ".join(rng.choices(["aa", "bb", "cc", "dd"], k=rng.randrange(0, 20))))
+            for i in range(150)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+        out = (
+            cut_dup_spans(rd.from_arrow(tbl).repartition(6), k=4, num_partitions=5)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        self._check(docs, out, 4)
+
+
 class TestIncrementalDedup:
     def test_anti_join_semantics(self, ray_session):
         import ray.data as rd
