@@ -420,6 +420,18 @@ def _q_lsh_topk(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10)
 
 
+def _q_multiprobe_lsh_topk(sf_dir: str):
+    """Query-directed multi-probe LSH (Lv et al. 2007): same probed-bucket
+    budget as a radius-1 Hamming ball, but the probes flip the planes the
+    query sits closest to first — higher recall per bucket scanned."""
+    from lmss_entity_extractor_ray.ops.similarity import multiprobe_lsh_topk
+
+    return multiprobe_lsh_topk(
+        _read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10,
+        n_planes=6, n_probes=7,
+    )
+
+
 def _q_ivf_topk(sf_dir: str):
     from lmss_entity_extractor_ray.ops.similarity import ivf_topk
 
@@ -1092,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_multi": _q_ann_topk_multi,
         "lsh_topk": _q_lsh_topk,
+        "multiprobe_lsh_topk": _q_multiprobe_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_index_topk": _q_ivf_index_topk,
         "knn_top1": _q_knn_top1,

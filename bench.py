@@ -607,6 +607,7 @@ def run_smoke_sim(n_vecs: int = 1_000_000, dim: int = 64, k: int = 10) -> dict:
         ivf_query,
         ivf_topk,
         lsh_topk,
+        multiprobe_lsh_topk,
     )
     from lmss_entity_extractor_ray.pipelines.corpus import (
         embedding_rows,
@@ -634,6 +635,9 @@ def run_smoke_sim(n_vecs: int = 1_000_000, dim: int = 64, k: int = 10) -> dict:
     timed("ann_topk_exact", lambda: brute_force_topk(embs(), q, k=k))
     # scan variants: read everything, skip scoring outside candidate buckets
     timed("lsh_topk", lambda: lsh_topk(embs(), q, k=k, n_planes=6, hamming_radius=2))
+    # query-directed probing: SAME probed-bucket count as the radius-2 ball
+    # (1 + 6 + 15 = 22 of 64) but picked by boundary margin
+    timed("multiprobe_lsh", lambda: multiprobe_lsh_topk(embs(), q, k=k, n_planes=6, n_probes=22))
     timed("ivf_topk", lambda: ivf_topk(embs(), q, k=k, n_centroids=64, n_probe=16))
     # partitioned index: build once (amortized), queries read ONLY probed cells
     idx = f"/tmp/graft_kg/ivf-index-{n_vecs}-{dim}"
@@ -647,7 +651,7 @@ def run_smoke_sim(n_vecs: int = 1_000_000, dim: int = 64, k: int = 10) -> dict:
     exact = results["ann_topk_exact"]
     recall = {
         name: round(len(results[name] & exact) / max(1, len(exact)), 3)
-        for name in ("lsh_topk", "ivf_topk", "ivf_query_p8", "ivf_query_p16")
+        for name in ("lsh_topk", "multiprobe_lsh", "ivf_topk", "ivf_query_p8", "ivf_query_p16")
     }
     return {
         "metric": "smoke_sim_total_sec",

@@ -398,6 +398,50 @@ class TestSimilarity:
         assert len(got_ids & truth_ids) >= 3
         assert emb_tbl.column("vec_id")[7].as_py() in got_ids
 
+    def test_multiprobe_full_probe_equals_bruteforce(self, ray_session, emb_ds, emb_tbl):
+        """Probing all 2^n_planes buckets degenerates to a full scan — must
+        equal the exact baseline (same float formula by construction)."""
+        from lmss_entity_extractor_ray.ops.similarity import multiprobe_lsh_topk
+
+        q = np.array(emb_tbl.column("embedding")[7].as_py(), dtype=np.float64)
+        df = multiprobe_lsh_topk(emb_ds, q, k=10, n_planes=5, n_probes=32).to_pandas()
+        got = list(zip(df["vec_id"].tolist(), df["cos_e5"].tolist()))
+        assert got == self._brute(emb_tbl, q, 10)
+
+    def test_multiprobe_dominates_radius_ball(self, ray_session, emb_ds, emb_tbl):
+        """At EQUAL probed-bucket count (1 + n_planes, the radius-1 ball),
+        query-directed probing must recall at least as much of the true
+        top-k as blind Hamming expansion, and must always find the query's
+        own vector (home bucket is probed first)."""
+        from lmss_entity_extractor_ray.ops.similarity import lsh_topk, multiprobe_lsh_topk
+
+        q = np.array(emb_tbl.column("embedding")[7].as_py(), dtype=np.float64)
+        truth_ids = {i for i, _ in self._brute(emb_tbl, q, 10)}
+        ball = set(lsh_topk(emb_ds, q, k=10, n_planes=6, hamming_radius=1)
+                   .to_pandas()["vec_id"].tolist())
+        mp = set(multiprobe_lsh_topk(emb_ds, q, k=10, n_planes=6, n_probes=7)
+                 .to_pandas()["vec_id"].tolist())
+        assert len(mp & truth_ids) >= len(ball & truth_ids)
+        assert emb_tbl.column("vec_id")[7].as_py() in mp
+
+    def test_multiprobe_mask_order(self):
+        """Masks come out by ascending sum of squared flipped margins, home
+        bucket first, no duplicates."""
+        from lmss_entity_extractor_ray.ops.similarity import _multiprobe_masks
+
+        margins = np.array([0.9, -0.1, 0.5, 0.02])
+        masks = _multiprobe_masks(margins, 16)
+        assert masks[0] == 0 and len(masks) == len(set(masks)) == 16
+        z2 = margins ** 2
+
+        def score(m):
+            return sum(z2[i] for i in range(4) if m >> i & 1)
+
+        scores = [score(m) for m in masks]
+        assert scores == sorted(scores)
+        # closest plane (index 3, |margin| 0.02) is the first flip
+        assert masks[1] == 1 << 3
+
     def test_knn_top1_vs_bruteforce(self, ray_session, emb_ds, emb_tbl):
         from lmss_entity_extractor_ray.ops.similarity import knn_top1
 
