@@ -601,6 +601,14 @@ def _q_unigram_nll(sf_dir: str):
     return unigram_nll(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_nll_buckets(sf_dir: str):
+    """CCNet head/middle/tail (Wenzek et al. 2020 §4.4): exact ntile(3)
+    over ascending per-doc mean NLL — global sort + ordered prefix scan."""
+    from lmss_entity_extractor_ray.ops.lm_score import nll_buckets
+
+    return nll_buckets(_read(sf_dir, "documents", ["doc_id", "text"]), 3)
+
+
 def _q_unicode_normalize(sf_dir: str):
     from lmss_entity_extractor_ray.ops.text_ops import unicode_normalize
 
@@ -1085,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "unicode_normalize": _q_unicode_normalize,
         "unigram_nll": _q_unigram_nll,
+        "nll_buckets": _q_nll_buckets,
         "regex_redact": _q_regex_redact,
         "repetition_stats": _q_repetition_stats,
         "model_scores": _q_model_scores,
@@ -1350,6 +1359,38 @@ def oracle_sql() -> dict[str, str]:
                 SELECT ex.doc_id, count(*) AS cnt, SUM(q.qv) AS s
                 FROM ex JOIN q USING (term) GROUP BY ex.doc_id) x
             USING (doc_id)
+        """,
+        "nll_buckets": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            tf AS (SELECT term, count(*) AS c FROM ex GROUP BY term),
+            n AS (SELECT CAST(SUM(c) AS DOUBLE) AS nn FROM tf),
+            q AS (SELECT term, CAST(floor(100000 * ln(nn / c)) AS BIGINT) AS qv
+                  FROM tf, n),
+            scored AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(x.cnt, 0) AS BIGINT) AS n_tokens,
+                       CAST(COALESCE(x.s, 0) AS BIGINT) AS nll_e5_sum
+                FROM documents d LEFT JOIN (
+                    SELECT ex.doc_id, count(*) AS cnt, SUM(q.qv) AS s
+                    FROM ex JOIN q USING (term) GROUP BY ex.doc_id) x
+                USING (doc_id)),
+            m AS (SELECT doc_id,
+                         CASE WHEN n_tokens > 0 THEN nll_e5_sum // n_tokens
+                              ELSE 0 END AS nll_mean_e5
+                  FROM scored),
+            t AS (SELECT doc_id, nll_mean_e5,
+                         ntile(3) OVER (ORDER BY nll_mean_e5, doc_id) AS tile
+                  FROM m)
+            SELECT doc_id, CAST(nll_mean_e5 AS BIGINT) AS nll_mean_e5,
+                   CAST(tile AS BIGINT) AS tile,
+                   CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM t
         """,
         "unicode_normalize": """
             SELECT doc_id,

@@ -71,3 +71,74 @@ def unigram_nll(ds: rd.Dataset) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nll_buckets(ds: rd.Dataset, n_buckets: int = 3) -> rd.Dataset:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4: partition
+    the corpus into equal thirds by LM perplexity; training recipes then
+    sample the buckets at different rates): (doc_id, nll_mean_e5, tile
+    [, bucket]) where ``tile`` is the exact SQL ``ntile(n_buckets)`` over
+    ascending per-doc mean NLL (integer: ``nll_e5_sum // n_tokens``) with
+    doc_id tie-break, and ``bucket`` names the thirds when n_buckets == 3
+    (tile 1 = lowest perplexity = head).
+
+    Distributed shape: the unigram-NLL two-pass scorer, then ONE global
+    range sort + the O(blocks) ordered prefix scan (ops/prefix.py) for the
+    exact rank — no driver-side doc table, layout-independent, and
+    bit-equal to the window-function oracle."""
+    from .arrow_np import col_np
+    from .prefix import ordered_cumsum
+
+    scored = unigram_nll(ds)
+
+    def mean_of(batch: pa.Table) -> pa.Table:
+        n = col_np(batch, "n_tokens")
+        s = col_np(batch, "nll_e5_sum")
+        mean = np.where(n > 0, s // np.maximum(n, 1), 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "nll_mean_e5": pa.array(mean, pa.int64()),
+                "one": pa.array(np.ones(len(mean), dtype=np.int64)),
+            }
+        )
+
+    ranked = ordered_cumsum(
+        scored.map_batches(mean_of, batch_format="pyarrow"),
+        ["nll_mean_e5", "doc_id"],
+        "one",
+        out_col="rank0",
+    )
+    n_total = ranked.count()  # blocks are materialized refs — metadata count
+    B = int(n_buckets)
+    size, rem = divmod(n_total, B)
+    labels = np.array(["head", "middle", "tail"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {
+                "doc_id": batch.column("doc_id"),
+                "nll_mean_e5": pa.array([], pa.int64()),
+                "tile": pa.array([], pa.int64()),
+            }
+            if B == 3:
+                cols["bucket"] = pa.array([], pa.string())
+            return pa.table(cols)
+        r = col_np(batch, "rank0")
+        if size == 0:  # fewer docs than buckets: row r is its own tile
+            tile = (r + 1).astype(np.int64)
+        else:
+            big_span = rem * (size + 1)  # first `rem` tiles hold one extra
+            tile = np.where(
+                r < big_span, r // (size + 1), rem + (r - big_span) // size
+            ).astype(np.int64) + 1
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "nll_mean_e5": batch.column("nll_mean_e5"),
+            "tile": pa.array(tile, pa.int64()),
+        }
+        if B == 3:
+            cols["bucket"] = pa.array(labels[tile - 1], pa.string())
+        return pa.table(cols)
+
+    return ranked.map_batches(assign, batch_format="pyarrow")

@@ -2010,6 +2010,67 @@ class TestUnigramNLL:
         assert got["nll_e5_sum"].nunique() > 10
 
 
+class TestNllBuckets:
+    @staticmethod
+    def _brute_tiles(docs, B):
+        """Sequential recompute: mean NLL -> sort -> SQL ntile sizes."""
+        from collections import Counter
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens
+
+        tf = Counter()
+        toks = {d: exact_tokens(t) for d, t in docs}
+        for ts in toks.values():
+            tf.update(ts)
+        n = float(sum(tf.values()))
+        q = {t: int(np.floor(100_000.0 * np.log(n / float(c)))) for t, c in tf.items()}
+        means = {
+            d: (sum(q[t] for t in ts) // len(ts)) if ts else 0
+            for d, ts in toks.items()
+        }
+        order = sorted(means, key=lambda d: (means[d], d))
+        size, rem = divmod(len(order), B)
+        tiles, r = {}, 0
+        for tile in range(1, B + 1):
+            take = size + (1 if tile <= rem else 0)
+            for d in order[r : r + take]:
+                tiles[d] = tile
+            r += take
+        return means, tiles
+
+    def test_tertiles_vs_bruteforce(self, ray_session, docs_ds, docs_tbl):
+        from lmss_entity_extractor_ray.ops.lm_score import nll_buckets
+
+        docs = list(
+            zip(docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist())
+        )
+        means, tiles = self._brute_tiles(docs, 3)
+        got = nll_buckets(docs_ds, 3).to_pandas().set_index("doc_id")
+        assert len(got) == len(docs)
+        names = {1: "head", 2: "middle", 3: "tail"}
+        for d in got.index:
+            assert int(got.loc[d, "nll_mean_e5"]) == means[d]
+            assert int(got.loc[d, "tile"]) == tiles[d], d
+            assert got.loc[d, "bucket"] == names[tiles[d]]
+        # thirds are ntile-sized
+        sizes = got["tile"].value_counts()
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_fewer_docs_than_buckets(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.lm_score import nll_buckets
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([5, 9], pa.int64()),
+                "text": pa.array(["common common", "rare token here"], pa.string()),
+            }
+        )
+        got = nll_buckets(rd.from_arrow(tbl), 5).to_pandas().set_index("doc_id")
+        assert sorted(got["tile"].tolist()) == [1, 2]
+
+
 class TestDecontamEdges:
     def test_empty_and_short_docs_always_clean(self, ray_session):
         import ray.data as rd
