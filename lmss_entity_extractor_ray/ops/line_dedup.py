@@ -43,7 +43,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .join import hash_join
-from .partitioning import shuffle_partitions, string_partition
+from .partitioning import packed_csv_lists, shuffle_partitions, string_partition
 
 LINE_CAP = 1 << 20  # max lines per document in the occurrence encoding
 
@@ -148,18 +148,11 @@ def line_dedup(
         .map_groups(finish_partition, batch_format="pyarrow")
     )
 
-    def to_lists(group: pa.Table) -> pa.Table:
-        g = group.group_by(["doc_id"]).aggregate([("line_no", "list")])
-        # Arrow's acero join rejects list-typed payload columns — ship the
-        # deletion list as a csv string through the join
-        csv = pa.array(
-            [",".join(map(str, v)) for v in g.column("line_no_list").to_pylist()],
-            pa.string(),
-        )
-        return pa.table({"doc_id": g.column("doc_id"), "drop_lines": csv})
-
-    drop_lists = (
-        removals.groupby("doc_id").map_groups(to_lists, batch_format="pyarrow")
+    # Arrow's acero join rejects list-typed payload columns — ship the
+    # deletion list as a csv string through the join (packed per hash
+    # partition, not per doc: see packed_csv_lists)
+    drop_lists = packed_csv_lists(
+        removals, P, id_col="doc_id", val_col="line_no", out_col="drop_lines"
     )
 
     joined = hash_join(

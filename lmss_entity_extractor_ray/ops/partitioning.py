@@ -97,3 +97,68 @@ def string_partition(col, num_partitions: int, seed: int = 0):
     return (string_hash64(col, seed=seed) % np.uint64(num_partitions)).astype(
         np.int32
     )
+
+
+def packed_csv_lists(
+    ds,
+    num_partitions: int,
+    id_col: str = "doc_id",
+    val_col: str = "pos",
+    out_col: str = "vals",
+):
+    """(id, int val) rows → ONE row per id carrying its sorted-unique vals
+    as a csv string (the Arrow-acero-join-safe list encoding used by
+    line_dedup / dup_span_stats deletion lists).
+
+    ``groupby(id).map_groups`` invokes the Python UDF once per id — 200k
+    calls on the 200k-doc smoke, measured 21 s, the stage dominator.  This
+    packs by ``id % P`` instead: P Python calls, numpy boundary detection
+    over one lexsort, and one vectorized ``binary_join`` for the csv.  Ids
+    must be non-negative ints (both callers' occ encodings guarantee it).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    P = int(num_partitions)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__part", pa.array((ids % P).astype(np.int32))
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.string()),
+                }
+            )
+        vals = group.column(val_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, ids))
+        ids, vals = ids[order], vals[order]
+        keep = np.concatenate(
+            [[True], (ids[1:] != ids[:-1]) | (vals[1:] != vals[:-1])]
+        )
+        ids, vals = ids[keep], vals[keep]
+        new_id = np.concatenate([[True], ids[1:] != ids[:-1]])
+        offsets = np.append(np.flatnonzero(new_id), ids.size)
+        val_str = pc.cast(pa.array(vals, pa.int64()), pa.string())
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), val_str
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[new_id], pa.int64()),
+                out_col: pc.binary_join(lists, ","),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pack, batch_format="pyarrow")
+    )

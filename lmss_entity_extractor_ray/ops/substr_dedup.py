@@ -43,7 +43,7 @@ import ray.data as rd
 
 from .dedup import exact_tokens
 from .join import hash_join
-from .partitioning import shuffle_partitions, string_partition
+from .partitioning import packed_csv_lists, shuffle_partitions, string_partition
 
 POS_CAP = 1 << 20
 
@@ -149,15 +149,9 @@ def _dup_pos_lists(
         .map_groups(resolve, batch_format="pyarrow")
     )
 
-    def to_lists(group: pa.Table) -> pa.Table:
-        g = group.group_by(["doc_id"]).aggregate([("pos", "list")])
-        csv = pa.array(
-            [",".join(map(str, sorted(set(v)))) for v in g.column("pos_list").to_pylist()],
-            pa.string(),
-        )
-        return pa.table({"doc_id": g.column("doc_id"), "dup_pos": csv})
-
-    return flagged.groupby("doc_id").map_groups(to_lists, batch_format="pyarrow")
+    return packed_csv_lists(
+        flagged, P, id_col="doc_id", val_col="pos", out_col="dup_pos"
+    )
 
 
 def dup_span_stats(
