@@ -24,7 +24,6 @@ Shuffle discipline (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-import itertools
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
@@ -106,20 +105,37 @@ def exact_dedup_fulltext(ds: rd.Dataset) -> rd.Dataset:
 
 def exact_dedup_keep(ds: rd.Dataset, key_tokens: int = 5) -> rd.Dataset:
     """The surviving rows themselves (first doc_id per key): hash-partition
-    by key, per-group first."""
+    by key, vectorized first-per-key inside each partition (grouping by the
+    key itself would invoke the UDF once per distinct key — corpus-
+    cardinality Python calls)."""
+    from .partitioning import shuffle_partitions, string_partition
+
+    P = max(2, shuffle_partitions(ds))
 
     def keyed(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "dedup_key", _prefix_key_arrow(batch.column("text"), key_tokens)
-        )
+        key = _prefix_key_arrow(batch.column("text"), key_tokens)
+        t = batch.append_column("dedup_key", key)
+        return t.append_column("part", pa.array(string_partition(key, P)))
 
     def first_by_id(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-        return group.take(order[:1])
+        group = group.drop_columns(["part"])
+        s = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("dedup_key", "ascending"), ("doc_id", "ascending")],
+            )
+        )
+        c = s.column("dedup_key").combine_chunks()
+        if len(c) == 0:
+            return s
+        neq = pc.not_equal(c.slice(1), c.slice(0, len(c) - 1))
+        if isinstance(neq, pa.ChunkedArray):
+            neq = neq.combine_chunks()
+        return s.filter(pa.concat_arrays([pa.array([True]), neq]))
 
     return (
         ds.map_batches(keyed, batch_format="pyarrow")
-        .groupby("dedup_key")
+        .groupby("part")
         .map_groups(first_by_id, batch_format="pyarrow")
     )
 
@@ -1147,44 +1163,89 @@ def simhash_signatures(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy 1.x has no bitwise_count)."""
+    return (
+        _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)]
+        .sum(axis=1)
+        .astype(np.int32)
+    )
+
+
 def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 4x16-bit band
     blocking (pigeonhole: any pair within Hamming 3 shares a band) + exact
-    verify inside each block group."""
+    verify inside each bucket.  Buckets are grouped by HASH PARTITION of the
+    (band, key) bucket id — one vectorized UDF call per partition, not one
+    Python call per bucket (up to 4·2^16 of them) — and the per-bucket pair
+    check is a numpy triu XOR + popcount, not an itertools loop."""
+    P = max(2, _sized_partitions(ds))
+
     def to_bands(batch: pa.Table) -> pa.Table:
         doc = col_np(batch, "doc_id")
         sh = col_np(batch, "simhash", np.uint64)
         n = len(doc)
         shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
-        keys = ((sh[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
+        keys = ((sh[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        bucket = np.arange(4, dtype=np.int64)[None, :] * (1 << 16) + keys
+        bucket = bucket.reshape(-1)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(doc, 4), pa.int64()),
-                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
-                "key": pa.array(keys.reshape(-1), pa.int32()),
+                "bucket": pa.array(bucket, pa.int64()),
                 "simhash": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
+                "part": pa.array((bucket % P).astype(np.int32), pa.int32()),
             }
         )
 
     def verify(group: pa.Table) -> pa.Table:
-        recs = sorted(zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist()))
-        out = []
-        for (ida, sa), (idb, sb) in itertools.combinations(recs, 2):
-            d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
-            if d <= max_hamming:
-                out.append((ida, idb, d))
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int32()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        doc = col_np(group, "doc_id")
+        sh = col_np(group, "simhash", np.uint64)
+        bucket = col_np(group, "bucket")
+        order = np.lexsort((doc, bucket))
+        doc, sh, bucket = doc[order], sh[order], bucket[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], bucket[1:] != bucket[:-1]])
+        )
+        ends = np.append(starts[1:], len(bucket))
+        outs_a, outs_b, outs_h = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, 1)
+            d = _popcount64(sh[s:e][i] ^ sh[s:e][j])
+            keep = d <= max_hamming
+            if keep.any():
+                outs_a.append(doc[s:e][i[keep]])
+                outs_b.append(doc[s:e][j[keep]])
+                outs_h.append(d[keep])
+        if not outs_a:
+            return empty
         return pa.table(
             {
-                "a": pa.array([o[0] for o in out], pa.int64()),
-                "b": pa.array([o[1] for o in out], pa.int64()),
-                "hamming": pa.array([o[2] for o in out], pa.int32()),
+                "a": pa.array(np.concatenate(outs_a), pa.int64()),
+                "b": pa.array(np.concatenate(outs_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(outs_h), pa.int32()),
             }
         )
 
     sigs = simhash_signatures(ds)
     pairs = (
         sigs.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .groupby("part")
         .map_groups(verify, batch_format="pyarrow")
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .partitioning import shuffle_partitions
+from .partitioning import shuffle_partitions, string_partition
 
 # applied in order; each is (pattern, replacement)
 _CANON_STEPS = [
@@ -85,6 +85,8 @@ def url_dedup(
     """(url, warc_ts) → (canonical_url, url, warc_ts, n_dups): the latest
     crawl per canonical URL plus how many raw rows collapsed into it."""
 
+    P = max(2, num_partitions or shuffle_partitions(ds))
+
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
@@ -96,9 +98,17 @@ def url_dedup(
         best = _best_per_canon(t)
         counts = t.group_by(["canonical_url"]).aggregate([([], "count_all")])
         counts = counts.rename_columns(["canonical_url", "p_cnt"])
-        return best.join(counts, keys=["canonical_url"])
+        out = best.join(counts, keys=["canonical_url"])
+        return out.append_column(
+            "part", pa.array(string_partition(out.column("canonical_url"), P))
+        )
 
+    # finish is vectorized over ALL the canons of one hash partition —
+    # grouping by canonical_url itself would invoke the UDF once per URL
+    # (corpus-cardinality Python calls; see packed_csv_lists for the measured
+    # cost of that shape)
     def finish(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["part"])
         best = _best_per_canon(group)
         n = group.group_by(["canonical_url"]).aggregate([("p_cnt", "sum")])
         out = best.join(n, keys=["canonical_url"]).rename_columns(
@@ -108,6 +118,6 @@ def url_dedup(
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("canonical_url")
+        .groupby("part")
         .map_groups(finish, batch_format="pyarrow")
     )

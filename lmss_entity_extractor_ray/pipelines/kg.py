@@ -297,14 +297,6 @@ def triples_dataset(
     return ds
 
 
-def _keep_best(group: pa.Table) -> pa.Table:
-    """First row by (-score, start) within one (subj, pred, obj) group."""
-    order = pc.sort_indices(
-        group, sort_keys=[("score", "descending"), ("start", "ascending")]
-    )
-    return group.take(order[:1])
-
-
 def _block_keep_best(batch: pa.Table) -> pa.Table:
     """Vectorized keep-best-per-(subj,pred,obj) within ONE block: sort by
     (key, -score, start), keep the first row of each key run."""
@@ -342,13 +334,28 @@ def dedup_triples(triples_ds: rd.Dataset) -> rd.Dataset:
     the Linker's in-batch dedup is exact because its batches are whole
     doc-aligned blocks (see triples_dataset) — so this is a validation /
     belt-and-braces stage: a vectorized in-block pre-dedup shrinks every
-    group to ≤ num_blocks rows before the groupby."""
+    group to ≤ num_blocks rows before the exchange.  The exchange groups by
+    HASH PARTITION of the key, not the key itself (one Python UDF call per
+    partition instead of per distinct triple), and the partition-wide
+    keep-best is the same vectorized run-filter as the in-block pass."""
+    from ..ops.partitioning import shuffle_partitions, string_partition
+
+    P = max(2, shuffle_partitions(triples_ds))
+
+    def pre_and_part(batch: pa.Table) -> pa.Table:
+        t = _block_keep_best(batch)
+        key = pc.binary_join_element_wise(
+            t.column("subj"), t.column("pred"), t.column("obj"), "\x1f"
+        )
+        return t.append_column("part", pa.array(string_partition(key, P)))
+
+    def finish(group: pa.Table) -> pa.Table:
+        return _block_keep_best(group.drop_columns(["part"]))
+
     pre = triples_ds.map_batches(
-        _block_keep_best, batch_format="pyarrow", batch_size=None
+        pre_and_part, batch_format="pyarrow", batch_size=None
     )
-    return pre.groupby(["subj", "pred", "obj"]).map_groups(
-        _keep_best, batch_format="pyarrow"
-    )
+    return pre.groupby("part").map_groups(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
