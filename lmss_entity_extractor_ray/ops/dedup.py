@@ -485,7 +485,10 @@ def _shuffle_partitions(ds=None, scale: float = 1.0) -> int:
 
 
 def _pair_counts(
-    sh: rd.Dataset, num_partitions: int, max_shingle_freq: Optional[int] = None
+    sh: rd.Dataset,
+    num_partitions: int,
+    max_shingle_freq: Optional[int] = None,
+    min_ratio: Optional[float] = None,
 ) -> rd.Dataset:
     """(a, b, inter, n_a, n_b) for every doc pair sharing ≥1 shingle.
 
@@ -505,7 +508,17 @@ def _pair_counts(
     skips runs with m > cap: intersections lose only those
     non-discriminative shingles (the result is exact Jaccard over the
     sub-cap shingle space; n_a/n_b still count all shingles, so J is
-    under-, never over-estimated).  None (default) = exact."""
+    under-, never over-estimated).  None (default) = exact.
+
+    ``min_ratio``: length-ratio prune (the classic all-pairs size filter:
+    J(a,b) <= min(|a|,|b|) / max(|a|,|b|), so a pair whose size ratio is
+    below the Jaccard threshold can NEVER qualify).  Pairs failing the
+    ratio are dropped AT EMISSION — before the local (a,b) combine and the
+    pair exchange — which is where the candidate stream is widest (13.8M of
+    14.1M emitted pairs on the 200k smoke are below a 0.7 threshold).  A
+    1e-4 slack keeps callers that compare ROUNDED Jaccard (round(j, 5))
+    exact.  Zero-shingle sentinel pairs (n_a = n_b = 0, defined J = 1)
+    survive the filter (0 >= ratio·0)."""
     from .partitioning import string_partition
 
     P = num_partitions
@@ -554,6 +567,12 @@ def _pair_counts(
             return empty
         ii = np.concatenate(chunks_i)
         jj = np.concatenate(chunks_j)
+        if min_ratio is not None:
+            na, nb = ns[ii].astype(np.float64), ns[jj].astype(np.float64)
+            ok = np.minimum(na, nb) >= (min_ratio - 1e-4) * np.maximum(na, nb)
+            ii, jj = ii[ok], jj[ok]
+            if not ii.size:
+                return empty
         t2 = pa.table(
             {"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64()),
              "n_a": pa.array(ns[ii], pa.int64()), "n_b": pa.array(ns[jj], pa.int64())}
@@ -796,7 +815,7 @@ def ngram_jaccard_pairs(
 
     if max_shingle_freq is None:
         sh = docs_ds.map_batches(shingle_batch, batch_format="pyarrow")
-        counts = _pair_counts(sh, P, max_shingle_freq=None)
+        counts = _pair_counts(sh, P, max_shingle_freq=None, min_ratio=threshold)
     else:
         hot = hot_shingle_set(
             docs_ds.map_batches(shingle_batch, batch_format="pyarrow")
@@ -827,7 +846,9 @@ def ngram_jaccard_pairs(
         # construction; the residual cap only bounds identical-fingerprint
         # runs (a >cap group of identical all-boilerplate docs is exact
         # duplication — exact_dedup_fulltext's job, not O(m²) pair listing)
-        counts = _pair_counts(sh, P, max_shingle_freq=max_shingle_freq)
+        counts = _pair_counts(
+            sh, P, max_shingle_freq=max_shingle_freq, min_ratio=threshold
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         inter = col_np(batch, "inter", np.float64)
@@ -1032,7 +1053,7 @@ def near_dup_pairs_minhash(
 
     # real shingles are all ≤ cap after filtering; the residual cap only
     # bounds pathological EMPTY-SENTINEL / identical-fingerprint runs
-    counts = _pair_counts(sh, P, max_shingle_freq=cap)
+    counts = _pair_counts(sh, P, max_shingle_freq=cap, min_ratio=threshold)
 
     _PAIR_DT = np.dtype([("a", "<i8"), ("b", "<i8")])
     if n_pairs <= broadcast_pairs_limit:
