@@ -667,6 +667,31 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, bench, shingle_k=3, keep_cols=["doc_id", "lang"])
 
 
+def _q_fuzzy_decontaminate(sf_dir: str):
+    """Containment-style fuzzy decontamination: eval set = doc_id % 101 ==
+    7; a training doc is dropped when ≥ 3/5 of its distinct 3-grams occur
+    in any single eval doc."""
+    import pyarrow as pa
+
+    from lmss_entity_extractor_ray.ops.arrow_np import col_np
+    from lmss_entity_extractor_ray.ops.decontam import fuzzy_decontaminate
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(col_np(batch, "doc_id") % 101 == 7))
+
+    def train_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(col_np(batch, "doc_id") % 101 != 7))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bench_only, batch_format="pyarrow"
+    )
+    train = docs.map_batches(train_only, batch_format="pyarrow")
+    return fuzzy_decontaminate(
+        train, bench, tau=(3, 5), shingle_k=3, keep_cols=["doc_id", "lang"]
+    )
+
+
 def _q_docs_per_source_cap(sf_dir: str):
     """Per-domain document cap (the Common-Crawl 'at most N pages per host'
     rule): keep each source's top-10 docs by length."""
@@ -1099,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_scores": _q_model_scores,
         # decontamination + per-domain caps (web-corpus curation rules)
         "decontaminate": _q_decontaminate,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "docs_per_source_cap": _q_docs_per_source_cap,
         # dedup family
         "exact_dedup": _q_exact_dedup,
@@ -1478,6 +1504,31 @@ def oracle_sql() -> dict[str, str]:
             bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 101 = 7),
             contam AS (SELECT DISTINCT doc_id FROM sh
                        WHERE s IN (SELECT s FROM bench))
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id % 101 <> 7
+              AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+        """,
+        "fuzzy_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                WHERE len(t) >= 3),
+            bench_sh AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 101 = 7),
+            train_sh AS (SELECT doc_id, s FROM sh WHERE doc_id % 101 <> 7),
+            nd AS (SELECT doc_id, count(*) AS n FROM train_sh GROUP BY 1),
+            inter AS (
+                SELECT t.doc_id, b.eval_id, count(*) AS c
+                FROM train_sh t JOIN bench_sh b USING (s)
+                GROUP BY 1, 2),
+            contam AS (
+                SELECT DISTINCT i.doc_id
+                FROM inter i JOIN nd USING (doc_id)
+                WHERE i.c * 5 >= 3 * nd.n)
             SELECT d.doc_id, d.lang FROM documents d
             WHERE d.doc_id % 101 <> 7
               AND d.doc_id NOT IN (SELECT doc_id FROM contam)

@@ -48,11 +48,11 @@ from .partitioning import packed_csv_lists, shuffle_partitions, string_partition
 LINE_CAP = 1 << 20  # max lines per document in the occurrence encoding
 
 
-def _split_lines(batch: pa.Table, id_col: str, text_col: str):
+def _split_lines(batch: pa.Table, id_col: str, text_col: str, sep: str = "\n"):
     """Per-row line lists via one vectorized Arrow split."""
     texts = pc.coalesce(batch.column(text_col), pa.scalar("", pa.string()))
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    split = pc.split_pattern(texts, "\n")
+    split = pc.split_pattern(texts, sep)
     return ids, split
 
 
@@ -62,15 +62,18 @@ def line_dedup(
     num_partitions: Optional[int] = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sep: str = "\n",
 ) -> rd.Dataset:
     """(doc_id, text, ...) → (doc_id, text, n_removed): global first-
     occurrence line dedup.  Deterministic and layout-independent — the
     canonical occurrence is a pure function of the corpus, not of block
-    order."""
+    order.  ``sep`` selects the unit: "\n" = lines (C4/RefinedWeb),
+    "\n\n" = paragraphs (Dolma's paragraph-level pass) — every other
+    semantics (first-occurrence, reassembly, min_chars) is identical."""
     P = max(2, num_partitions or shuffle_partitions(docs_ds, scale=2.0))
 
     def emit(batch: pa.Table) -> pa.Table:
-        ids, split = _split_lines(batch, id_col, text_col)
+        ids, split = _split_lines(batch, id_col, text_col, sep)
         flat = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
         offsets = flat.offsets.to_numpy(zero_copy_only=False)
         offsets = offsets - offsets[0]  # flatten() below re-bases the values
@@ -160,18 +163,18 @@ def line_dedup(
     )
 
     def rebuild(batch: pa.Table) -> pa.Table:
-        ids, split = _split_lines(batch, id_col, text_col)
+        ids, split = _split_lines(batch, id_col, text_col, sep)
         lines_per_doc = split.to_pylist()
         drops = batch.column("drop_lines").to_pylist()
         texts, n_removed = [], []
         for lines, drop in zip(lines_per_doc, drops):
             if not drop:
-                texts.append("\n".join(lines))
+                texts.append(sep.join(lines))
                 n_removed.append(0)
             else:
                 dset = {int(x) for x in drop.split(",")}
                 texts.append(
-                    "\n".join(l for i, l in enumerate(lines) if i not in dset)
+                    sep.join(l for i, l in enumerate(lines) if i not in dset)
                 )
                 n_removed.append(len(dset))
         return pa.table(

@@ -1635,6 +1635,53 @@ class TestRound3Ops:
         ).to_pandas()
         assert sorted(got["doc_id"].tolist()) == expect
 
+    def test_fuzzy_decontaminate_vs_bruteforce(self, ray_session, docs_tbl):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.decontam import fuzzy_decontaminate
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens
+
+        k, num, den = 3, 3, 5
+        ids = docs_tbl.column("doc_id").to_pylist()
+        txts = docs_tbl.column("text").to_pylist()
+        sh = {}
+        for d, s in zip(ids, txts):
+            toks = exact_tokens(s)
+            sh[d] = (
+                {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                if len(toks) >= k
+                else set()
+            )
+        bench_ids = {d for d in ids if d % 7 == 3}
+        expect = sorted(
+            d
+            for d in ids
+            if d not in bench_ids
+            and not any(
+                sh[d] and len(sh[d] & sh[e]) * den >= num * len(sh[d])
+                for e in bench_ids
+            )
+        )
+
+        bench_tbl = docs_tbl.filter(pa.array([d in bench_ids for d in ids]))
+        train_tbl = docs_tbl.filter(pa.array([d not in bench_ids for d in ids]))
+        got = fuzzy_decontaminate(
+            rd.from_arrow(train_tbl).repartition(4),
+            rd.from_arrow(bench_tbl),
+            tau=(num, den),
+            shingle_k=k,
+        ).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == expect
+
+    def test_fuzzy_decontaminate_empty_bench(self, ray_session, docs_ds, docs_tbl):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.decontam import fuzzy_decontaminate
+
+        empty = docs_tbl.slice(0, 0)
+        got = fuzzy_decontaminate(docs_ds, rd.from_arrow(empty)).count()
+        assert got == docs_tbl.num_rows
+
     def test_multi_query_topk_vs_bruteforce(self, ray_session, emb_ds, emb_tbl):
         from lmss_entity_extractor_ray.ops.similarity import multi_query_topk
 
@@ -2432,6 +2479,35 @@ class TestLineDedup:
             .set_index("doc_id")
         )
         self._check(docs, out)
+
+    def test_paragraph_mode(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.line_dedup import line_dedup
+
+        docs = [
+            (0, "para one here\n\nshared boilerplate\n\nunique tail"),
+            (1, "shared boilerplate\n\nother paragraph"),
+            (2, "line with\nnewline inside\n\nshared boilerplate"),
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+        out = (
+            line_dedup(rd.from_arrow(tbl), min_chars=1, sep="\n\n")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # first occurrence of "shared boilerplate" (doc 0) survives; the
+        # single-\n inside doc 2's first paragraph is NOT a split point
+        assert out.loc[0, "text"] == docs[0][1]
+        assert out.loc[1, "text"] == "other paragraph"
+        assert out.loc[1, "n_removed"] == 1
+        assert out.loc[2, "text"] == "line with\nnewline inside"
+        assert out.loc[2, "n_removed"] == 1
 
     def test_min_chars_gate(self, ray_session):
         import ray.data as rd
