@@ -667,6 +667,13 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, bench, shingle_k=3, keep_cols=["doc_id", "lang"])
 
 
+def _q_corpus_report(sf_dir: str):
+    """Per-language corpus data card (docs / empty / chars / tokens)."""
+    from lmss_entity_extractor_ray.ops.text_ops import corpus_report
+
+    return corpus_report(_read(sf_dir, "documents", ["lang", "text"]))
+
+
 def _q_fuzzy_decontaminate(sf_dir: str):
     """Containment-style fuzzy decontamination: eval set = doc_id % 101 ==
     7; a training doc is dropped when ≥ 3/5 of its distinct 3-grams occur
@@ -1125,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination + per-domain caps (web-corpus curation rules)
         "decontaminate": _q_decontaminate,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "corpus_report": _q_corpus_report,
         "docs_per_source_cap": _q_docs_per_source_cap,
         # dedup family
         "exact_dedup": _q_exact_dedup,
@@ -1507,6 +1515,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang FROM documents d
             WHERE d.doc_id % 101 <> 7
               AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+        """,
+        "corpus_report": f"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(count(*) FILTER (WHERE trim(coalesce(text, '')) = '')
+                        AS BIGINT) AS n_empty,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+                   CAST(sum({_NTOK}) AS BIGINT) AS n_tokens,
+                   CAST(max({_NTOK}) AS BIGINT) AS max_tokens
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "fuzzy_decontaminate": """
             WITH toks AS (

@@ -355,3 +355,73 @@ def regex_redact(
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_report(
+    ds: rd.Dataset, group_col: str = "lang", text_col: str = "text"
+) -> rd.Dataset:
+    """Per-group corpus data card: (group, n_docs, n_empty, n_chars,
+    n_tokens, max_tokens) — the release-notes summary every corpus drop
+    ships (docs per language, token totals, empty-doc counts).
+
+    One map-only pass: per block, Arrow kernels compute char/token counts
+    and a block-local group_by emits ≤ |groups| partial rows; the bounded-
+    cardinality coordinator fold (ops/combine.py) merges them — no AllToAll
+    for a few-kilobyte result.  All outputs are exact integers, so the SQL
+    oracle compares value-for-value."""
+    from .combine import col_type, combine_partials, sort_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split, trimmed = _tokens_column(batch.column(text_col))
+        n = pc.list_value_length(split).cast(pa.int64())
+        n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()), n)
+        chars = pc.utf8_length(pc.fill_null(batch.column(text_col), "")).cast(
+            pa.int64()
+        )
+        empty = pc.equal(trimmed, "").cast(pa.int64())
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "p_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "p_empty": empty,
+                "p_chars": chars,
+                "p_tokens": n,
+                "p_maxtok": n,
+            }
+        )
+        g = t.group_by([group_col]).aggregate(
+            [
+                ("p_docs", "sum"),
+                ("p_empty", "sum"),
+                ("p_chars", "sum"),
+                ("p_tokens", "sum"),
+                ("p_maxtok", "max"),
+            ]
+        )
+        return g.rename_columns(
+            [group_col, "p_docs", "p_empty", "p_chars", "p_tokens", "p_maxtok"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = combine_partials(
+        partials,
+        [group_col],
+        [
+            ("p_docs", "sum", "n_docs"),
+            ("p_empty", "sum", "n_empty"),
+            ("p_chars", "sum", "n_chars"),
+            ("p_tokens", "sum", "n_tokens"),
+            ("p_maxtok", "max", "max_tokens"),
+        ],
+        schema=pa.schema(
+            [
+                (group_col, col_type(ds, group_col)),
+                ("p_docs", pa.int64()),
+                ("p_empty", pa.int64()),
+                ("p_chars", pa.int64()),
+                ("p_tokens", pa.int64()),
+                ("p_maxtok", pa.int64()),
+            ]
+        ),
+    )
+    return rd.from_arrow(sort_table(final, [(group_col, "ascending")]))

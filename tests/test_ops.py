@@ -1635,6 +1635,35 @@ class TestRound3Ops:
         ).to_pandas()
         assert sorted(got["doc_id"].tolist()) == expect
 
+    def test_corpus_report_vs_bruteforce(self, ray_session):
+        from collections import defaultdict
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.text_ops import corpus_report
+
+        tbl = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"])
+        got = corpus_report(rd.from_arrow(tbl).repartition(4)).to_pandas().set_index("lang")
+        exp = defaultdict(lambda: [0, 0, 0, 0, 0])
+        for lang, text in zip(
+            tbl.column("lang").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            t = (text or "").strip()
+            n = len(t.split()) if t else 0
+            e = exp[lang]
+            e[0] += 1
+            e[1] += 1 if not t else 0
+            e[2] += len(text or "")
+            e[3] += n
+            e[4] = max(e[4], n)
+        assert sorted(got.index) == sorted(exp)
+        for lang, (nd, ne, nc, nt, mx) in exp.items():
+            row = got.loc[lang]
+            assert (row.n_docs, row.n_empty, row.n_chars, row.n_tokens, row.max_tokens) == (
+                nd, ne, nc, nt, mx
+            )
+
     def test_fuzzy_decontaminate_vs_bruteforce(self, ray_session, docs_tbl):
         import ray.data as rd
 
