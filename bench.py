@@ -219,6 +219,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "domain_mix",
         "doc_dispatch_quarantine",
         "ivf_index_topk",
+        # round-4 late additions
+        "fuzzy_decontaminate",
+        "corpus_report",
+        "cut_dup_spans",
     ):
         timed(name, lambda n=name: _consume_any(qs[n](sf_dir)))
 
