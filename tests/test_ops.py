@@ -2561,6 +2561,47 @@ class TestLineDedup:
 # SemDeDup (semantic dedup)
 # ---------------------------------------------------------------------------
 
+class TestPackedCsvLists:
+    def test_vs_bruteforce(self, ray_session):
+        import random
+        from collections import defaultdict
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.partitioning import packed_csv_lists
+
+        rng = random.Random(11)
+        ids = [rng.randrange(0, 40) for _ in range(500)]
+        vals = [rng.randrange(0, 30) for _ in range(500)]
+        tbl = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "pos": pa.array(vals, pa.int64())}
+        )
+        got = (
+            packed_csv_lists(
+                rd.from_arrow(tbl).repartition(7), 5, val_col="pos", out_col="v"
+            )
+            .to_pandas()
+            .set_index("doc_id")["v"]
+            .to_dict()
+        )
+        exp = defaultdict(set)
+        for d, v in zip(ids, vals):
+            exp[d].add(v)
+        assert got == {
+            d: ",".join(map(str, sorted(vs))) for d, vs in exp.items()
+        }
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.partitioning import packed_csv_lists
+
+        tbl = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+        )
+        assert packed_csv_lists(rd.from_arrow(tbl), 4, val_col="pos").count() == 0
+
+
 class TestSemDeDup:
     def test_vs_bruteforce(self, ray_session, emb_ds, emb_tbl):
         """Dominate rule re-derived brute-force over the op's own clusters."""
