@@ -453,14 +453,22 @@ def run_scaling(n_docs: int = SCALING_DOCS, reps: int = 3) -> dict:
     def median(xs):
         return sorted(xs)[len(xs) // 2]
 
-    def median_run(rs):
-        rs = sorted(rs, key=lambda r: r["docs_per_sec"])
-        return rs[len(rs) // 2]
-
-    lo, hi = (median_run(runs[c]) for c in SCALING_CPU_PAIR)
-    ratio = hi["num_cpus"] / lo["num_cpus"]
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
-    cal_lo, cal_hi = (median(cal[c]) for c in SCALING_CPU_PAIR)
+    lo_c, hi_c = SCALING_CPU_PAIR
+    ratio = hi_c / lo_c
+    med_lo = median([r["docs_per_sec"] for r in runs[lo_c]])
+    med_hi = median([r["docs_per_sec"] for r in runs[hi_c]])
+    best_lo = max(r["docs_per_sec"] for r in runs[lo_c])
+    best_hi = max(r["docs_per_sec"] for r in runs[hi_c])
+    # HEADLINE = best-vs-best: on a shared host ambient contention lands on
+    # individual reps (one protocol run measured two 4-CPU reps 40% slower
+    # than the third while the 16-CPU reps interleaved between them were
+    # normal, pushing the MEDIAN ratio superlinear); the per-level best is
+    # the least-contended observation of identical code and the only
+    # aggregation that stayed physically plausible across every protocol
+    # run this repo has recorded.  The median is still reported.
+    eff = (best_hi / best_lo) / ratio
+    med_eff = (med_hi / med_lo) / ratio
+    cal_lo, cal_hi = (max(cal[c]) for c in SCALING_CPU_PAIR)
     hw_ceiling = cal_hi / cal_lo
     sw_eff = eff / hw_ceiling
     summary = {
@@ -468,46 +476,59 @@ def run_scaling(n_docs: int = SCALING_DOCS, reps: int = 3) -> dict:
         "value": round(eff, 3),
         "unit": "ratio",
         "queries": {
-            f"docs_per_sec_{lo['num_cpus']}": lo["docs_per_sec"],
-            f"docs_per_sec_{hi['num_cpus']}": hi["docs_per_sec"],
-            f"wall_s_{lo['num_cpus']}": lo["wall_s"],
-            f"wall_s_{hi['num_cpus']}": hi["wall_s"],
-            f"cal_percore_{lo['num_cpus']}": round(cal_lo, 1),
-            f"cal_percore_{hi['num_cpus']}": round(cal_hi, 1),
+            f"docs_per_sec_{lo_c}": best_lo,
+            f"docs_per_sec_{hi_c}": best_hi,
+            f"median_docs_per_sec_{lo_c}": med_lo,
+            f"median_docs_per_sec_{hi_c}": med_hi,
+            "median_eff": round(med_eff, 3),
+            f"cal_percore_{lo_c}": round(cal_lo, 1),
+            f"cal_percore_{hi_c}": round(cal_hi, 1),
             "hw_ceiling": round(hw_ceiling, 3),
             "software_eff": round(sw_eff, 3),
         },
         "sf": f"synthetic-{n_docs}-docs",
-        "num_cpus": hi["num_cpus"],
+        "num_cpus": hi_c,
     }
-    _update_baseline_md(lo, hi, eff, cal_lo, cal_hi, hw_ceiling, sw_eff)
+    _update_baseline_md(runs, eff, med_eff, cal_lo, cal_hi, hw_ceiling, sw_eff)
     return summary
 
 
 def _update_baseline_md(
-    lo: dict, hi: dict, eff: float,
+    runs: dict, eff: float, med_eff: float,
     cal_lo: float, cal_hi: float, hw_ceiling: float, sw_eff: float,
 ) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     if not os.path.exists(path):
         return
+    lo_c, hi_c = SCALING_CPU_PAIR
+    n_docs = runs[lo_c][0]["docs"]
+    triples = runs[lo_c][0]["triples"]
+    rep_rows = "".join(
+        f"| {i} | {a['wall_s']} | {a['docs_per_sec']} | {b['wall_s']} | {b['docs_per_sec']} |\n"
+        for i, (a, b) in enumerate(zip(runs[lo_c], runs[hi_c]))
+    )
     table = (
-        f"| run | num_cpus | corpus rows | wall s | docs/s | triples emitted | efficiency vs {lo['num_cpus']}-cpu |\n"
-        "|---|---|---|---|---|---|---|\n"
-        f"| A | {lo['num_cpus']} | {lo['docs']} | {lo['wall_s']} | {lo['docs_per_sec']} | {lo['triples']} | 1.00 (base) |\n"
-        f"| B | {hi['num_cpus']} | {hi['docs']} | {hi['wall_s']} | {hi['docs_per_sec']} | {hi['triples']} | {eff:.3f} RAW |\n"
+        f"| rep | {lo_c}-cpu wall s | {lo_c}-cpu docs/s | {hi_c}-cpu wall s | {hi_c}-cpu docs/s |\n"
+        "|---|---|---|---|---|\n"
+        f"{rep_rows}"
+        f"Both levels emit the identical {triples} triples from the same\n"
+        f"{n_docs}-doc corpus.  **RAW efficiency (best-vs-best) = {eff:.3f}**;\n"
+        f"median-of-reps = {med_eff:.3f}.  Best-vs-best is the headline because\n"
+        f"ambient contention on a shared host lands on individual reps and can\n"
+        f"push the median ratio past 1.0 (observed); the per-level best is the\n"
+        f"least-contended observation of identical code.\n"
         f"Hardware-contention calibration (Ray-free multiprocessing, same\n"
         f"extraction workload, identical per-worker work, interleaved with the\n"
-        f"same cooldowns): per-core {cal_lo:.0f} docs/s at {lo['num_cpus']} workers vs\n"
-        f"{cal_hi:.0f} docs/s at {hi['num_cpus']} workers → hardware ceiling {hw_ceiling:.3f}\n"
+        f"same cooldowns, best-of-reps): per-core {cal_lo:.0f} docs/s at {lo_c} workers vs\n"
+        f"{cal_hi:.0f} docs/s at {hi_c} workers → hardware ceiling {hw_ceiling:.3f}\n"
         f"(what PERFECT software would score on this host).  **Software scaling\n"
         f"efficiency = RAW / ceiling = {sw_eff:.3f}** — the faithful proxy for the\n"
         f"north rule's N→4N-node criterion (a real cluster keeps per-node\n"
         f"frequency/bandwidth conditions constant across sizes; a single host\n"
         f"does not).  Values ≈ 1.0 mean the Ray job loses nothing beyond the\n"
-        f"hardware's own per-core drop (probe medians carry ±5-10% noise).\n"
+        f"hardware's own per-core drop (probe bests carry ±5-10% noise).\n"
         f"Gate ≥ 0.8.\n"
-        "Protocol: each row is the MEDIAN of 3 fresh-process runs, interleaved\n"
+        "Protocol: 3 fresh-process runs per level, interleaved\n"
         "A/B/A/B/… with a 45 s idle cooldown before every run (single pairs\n"
         "swing 0.69–1.10 on this host); warm-up pass excluded.  The default\n"
         "bench mode separately reports best-of-2 per query.\n"
@@ -517,7 +538,7 @@ def _update_baseline_md(
     with open(path) as f:
         content = f.read()
     content = re.sub(
-        r"\| run \| num_cpus \|.*?(?=\n\n|\n#|\Z)", table, content, flags=re.DOTALL
+        r"\| rep \| \d+-cpu wall s \|.*?(?=\n\n|\n#|\Z)", table, content, flags=re.DOTALL
     )
     with open(path, "w") as f:
         f.write(content)
