@@ -379,6 +379,37 @@ def _q_ngram_jaccard(sf_dir: str):
     )
 
 
+def _q_streaming_near_dup(sf_dir: str):
+    """Rolling-index near-dup (ops/streaming_dedup.py): docs stream through
+    a live sharded LSH actor index in doc_id order; each dup reports its
+    first earlier near-duplicate.  Dual-read oracle: the query also writes
+    the BATCH pair set (near_dup_pairs_minhash — itself verified against
+    the ngram_jaccard SQL join) to a fixed path, and the SQL folds those
+    pairs to per-doc first-duplicate form, which the insert-all streaming
+    semantics must reproduce exactly."""
+    import shutil
+
+    from lmss_entity_extractor_ray.ops.dedup import near_dup_pairs_minhash
+    from lmss_entity_extractor_ray.ops.streaming_dedup import streaming_near_dup
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    path = f"/tmp/graft_kg/streamdup-pairs-{sf_name}"
+    shutil.rmtree(path, ignore_errors=True)
+    near_dup_pairs_minhash(docs, threshold=0.2).write_parquet(path)
+    out = streaming_near_dup(
+        docs, threshold=0.2, store="shingles", insert_dups=True,
+        shard_rows=128, num_index_shards=4,
+    )
+
+    def dups_only(b):
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_valid(b.column("dup_of")))
+
+    return out.map_batches(dups_only, batch_format="pyarrow")
+
+
 def _q_dup_clusters(sf_dir: str):
     """Transitive closure of the exact n-gram near-dup pairs: every paired
     doc labeled with its cluster (min reachable doc_id)."""
@@ -1139,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_fulltext": _q_exact_dedup_fulltext,
         "simhash_signatures": _q_simhash,
         "minhash_near_dup": _q_minhash_near_dup,
+        "streaming_near_dup": _q_streaming_near_dup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "dedup_canonical_docs": _q_dedup_canonical,
@@ -1850,6 +1882,18 @@ def oracle_sql() -> dict[str, str]:
                                         * 100000 + 0.5) AS BIGINT) >= 80000
                    ) AS kept
             FROM a
+        """,
+        # dual-read: the per-doc first-duplicate fold is re-derived in SQL
+        # over the batch pair set the Ray side wrote (insert-all streaming
+        # semantics ≡ batch pairs folded to min earlier partner per doc)
+        "streaming_near_dup": """
+            SELECT b AS doc_id, a AS dup_of,
+                   CAST(floor(jaccard * 100000 + 0.5) AS BIGINT) AS sim_e5
+            FROM (
+                SELECT a, b, jaccard,
+                       row_number() OVER (PARTITION BY b ORDER BY a) AS rn
+                FROM read_parquet('/tmp/graft_kg/streamdup-pairs-sf0.01/*.parquet')
+            ) WHERE rn = 1
         """,
         # full-probe partitioned-index query degenerates to the exact answer
         "ivf_index_topk": """

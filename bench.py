@@ -223,6 +223,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "fuzzy_decontaminate",
         "corpus_report",
         "cut_dup_spans",
+        "streaming_near_dup",
     ):
         timed(name, lambda n=name: _consume_any(qs[n](sf_dir)))
 

@@ -39,6 +39,7 @@ if _sf_name != "sf0.01":
         k: v.replace("corpus-sf0.01-1000-", f"corpus-{_sf_name}-{_n}-")
              .replace("triples-sf0.01", f"triples-{_sf_name}")
              .replace("semdedup-assign-sf0.01", f"semdedup-assign-{_sf_name}")
+             .replace("streamdup-pairs-sf0.01", f"streamdup-pairs-{_sf_name}")
         for k, v in oracles.items()
     }
 

@@ -1,0 +1,153 @@
+"""Streaming rolling-index near-dup: parity with the batch path + chain
+semantics of the canonical-only index."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _corpus():
+    """Planted near-dups, exact dups, short docs, empties, uniques —
+    enough doc-id spread to span several ingest shards."""
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    for i in range(24):
+        rows.append((i, f"{base} unique{i} filler{i} more{i} text{i}"))
+    long = " ".join(f"tok{j}" for j in range(60))
+    rows.append((100, long))
+    rows.append((101, long + " extra"))
+    rows.append((102, long.replace("tok5 ", "tok5x ")))
+    dup = " ".join(f"dup{j}" for j in range(30))
+    rows.append((200, dup))
+    rows.append((201, dup))
+    rows.append((30, ""))       # empties pair mutually at J=1
+    rows.append((110, ""))
+    rows.append((40, "two words"))   # < shingle_k tokens → single-hash shingle
+    rows.append((120, "two words"))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def _batch_fold(tbl: pa.Table, threshold: float) -> dict:
+    """Expected per-doc first-duplicate from the batch pair set."""
+    import ray.data as rd
+
+    from lmss_entity_extractor_ray.ops.dedup import near_dup_pairs_minhash
+
+    pairs = near_dup_pairs_minhash(
+        rd.from_arrow(tbl), threshold=threshold
+    ).to_pandas()
+    fold: dict = {}
+    for a, b, j in zip(pairs["a"], pairs["b"], pairs["jaccard"]):
+        a, b = int(a), int(b)
+        cur = fold.get(b)
+        if cur is None or a < cur[0]:
+            fold[b] = (a, int(np.floor(j * 100_000.0 + 0.5)))
+    return fold
+
+
+class TestStreamingNearDup:
+    @pytest.mark.parametrize("shard_rows", [8, 1000])
+    def test_parity_with_batch_fold(self, ray_session, shard_rows):
+        """insert-all + exact shingle verification ≡ the batch pair set
+        folded to per-doc first-duplicate — across shard splits (8 rows →
+        many inter-shard lookups; 1000 → one all-intra shard)."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.streaming_dedup import streaming_near_dup
+
+        tbl = _corpus()
+        out = streaming_near_dup(
+            rd.from_arrow(tbl).repartition(5),
+            threshold=0.7,
+            shard_rows=shard_rows,
+            num_index_shards=3,
+            store="shingles",
+        ).to_pandas()
+
+        assert len(out) == tbl.num_rows
+        assert sorted(out["doc_id"]) == sorted(tbl.column("doc_id").to_pylist())
+        got = {
+            int(r.doc_id): (int(r.dup_of), int(r.sim_e5))
+            for r in out.itertuples()
+            if not np.isnan(r.dup_of)
+        }
+        assert got == _batch_fold(tbl, 0.7)
+        # dup_of always strictly earlier
+        assert all(j < d for d, (j, _) in got.items())
+
+    def test_signature_mode_flags_exact_dups(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.streaming_dedup import streaming_near_dup
+
+        dup = " ".join(f"w{j}" for j in range(40))
+        other = " ".join(f"z{j}" for j in range(40))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([dup, other, dup], pa.string()),
+            }
+        )
+        out = (
+            streaming_near_dup(
+                rd.from_arrow(tbl), threshold=0.9, store="signature",
+                num_index_shards=2,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert int(out.loc[3, "dup_of"]) == 1  # identical sigs → est J = 1.0
+        assert int(out.loc[3, "sim_e5"]) == 100_000
+        assert np.isnan(out.loc[1, "dup_of"]) and np.isnan(out.loc[2, "dup_of"])
+
+    def test_canonical_chain_semantics(self, ray_session):
+        """a~b, b~c, a!~c: insert-all marks both b and c dups; the
+        canonical-only index drops b at the door so c stays canonical."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.streaming_dedup import streaming_near_dup
+
+        w = [f"w{j}" for j in range(10)]
+        a = " ".join(w)                                   # w0..w9
+        b = " ".join(w[:8] + ["xa", "xb"])                # J(a,b)=8/12≈0.667
+        c = " ".join(w[:6] + ["xa", "xb", "xc", "xd"])    # J(b,c)=8/12, J(a,c)=6/14≈0.43
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([a, b, c], pa.string()),
+            }
+        )
+        kw = dict(
+            threshold=0.6, shingle_k=1, store="shingles", num_index_shards=2,
+            shard_rows=1,  # one doc per shard → pure rolling behavior
+        )
+        ds = rd.from_arrow(tbl)
+        all_in = (
+            streaming_near_dup(ds, insert_dups=True, **kw)
+            .to_pandas().set_index("doc_id")
+        )
+        assert int(all_in.loc[2, "dup_of"]) == 1
+        assert int(all_in.loc[3, "dup_of"]) == 2  # chained to the dup
+        canon = (
+            streaming_near_dup(ds, insert_dups=False, **kw)
+            .to_pandas().set_index("doc_id")
+        )
+        assert int(canon.loc[2, "dup_of"]) == 1
+        assert np.isnan(canon.loc[3, "dup_of"])   # b never entered the index
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.streaming_dedup import streaming_near_dup
+
+        tbl = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+        out = streaming_near_dup(rd.from_arrow(tbl))
+        assert out.count() == 0
+        assert set(out.schema().names) == {"doc_id", "dup_of", "sim_e5"}
