@@ -553,6 +553,29 @@ def _q_dedup_incremental(sf_dir: str):
     )
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): select the 100 docs
+    whose unigram+bigram distribution best matches the English subset
+    (target = lang == 'en'), sampled via quantized Gumbel-top-k.  The
+    whole estimator — smoothing, log-ratio quantization, Knuth-hash
+    Gumbel — is mirrored operation-for-operation in the SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lmss_entity_extractor_ray.ops.dsir import dsir_select
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_target",
+            pc.cast(pc.equal(batch.column("lang"), "en"), pa.int64()),
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+    return dsir_select(docs, k=100, gumbel_salt=13)
+
+
 def _q_gopher_gate(sf_dir: str):
     """Gopher-rules composite quality gate (Rae et al. 2021 A.1.1) with a
     per-rule failure bitmask; min_tokens lowered to 20 so the corpus
@@ -1145,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cut_dup_spans": _q_cut_dup_spans,
         "dedup_incremental": _q_dedup_incremental,
         "domain_mix": _q_domain_mix,
+        "dsir_select": _q_dsir_select,
         "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
         # text analysis
         "token_counts": _q_token_counts,
@@ -1740,6 +1764,45 @@ def oracle_sql() -> dict[str, str]:
             FROM marked
         """,
 
+        # DSIR: every stage (smoothing, log-ratio quantization, Knuth-hash
+        # Gumbel noise) written with the identical float64 operation order
+        # as ops/dsir.py, so floors agree bit-for-bit
+        "dsir_select": r"""
+            WITH toks AS (SELECT doc_id, lang,
+                    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                                x -> x <> '') AS t
+                    FROM documents),
+            grams AS (
+                SELECT doc_id, lang, unnest(t) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, lang, t[i.i] || ' ' || t[i.i + 1] AS g
+                FROM toks, unnest(generate_series(1, len(t) - 1)) AS i(i)
+                WHERE len(t) >= 2
+            ),
+            qc AS (SELECT g, count(*) AS cq,
+                          count(*) FILTER (lang = 'en') AS cp
+                   FROM grams GROUP BY g),
+            tot AS (SELECT CAST(sum(cq) AS DOUBLE) AS nq,
+                           CAST(sum(cp) AS DOUBLE) AS np_,
+                           CAST(count(*) AS DOUBLE) AS v FROM qc),
+            w AS (SELECT g, CAST(floor(100000 * ln(
+                       ((cp + 0.5) * (nq + 0.5 * v)) /
+                       ((np_ + 0.5 * v) * (cq + 0.5)))) AS BIGINT) AS w5
+                  FROM qc, tot),
+            dw AS (SELECT d.doc_id,
+                          coalesce(CAST(s.w_sum AS BIGINT), 0) AS logw_e5
+                   FROM documents d LEFT JOIN (
+                       SELECT doc_id, sum(w5) AS w_sum
+                       FROM grams JOIN w USING (g) GROUP BY doc_id
+                   ) s USING (doc_id)),
+            sc AS (SELECT doc_id, logw_e5,
+                          logw_e5 + CAST(floor(100000 * -ln(-ln(
+                              (((doc_id + 13) * 2654435761) % 4294967296 + 0.5)
+                              / 4294967296))) AS BIGINT) AS score_e5
+                   FROM dw)
+            SELECT doc_id, logw_e5, score_e5 FROM sc
+            ORDER BY score_e5 DESC, doc_id LIMIT 100
+        """,
         "domain_mix": """
             SELECT doc_id, lang FROM documents
             WHERE ((doc_id + 7) * 2654435761) % 4294967296 <

@@ -224,6 +224,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "corpus_report",
         "cut_dup_spans",
         "streaming_near_dup",
+        "dsir_select",
     ):
         timed(name, lambda n=name: _consume_any(qs[n](sf_dir)))
 
