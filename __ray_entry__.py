@@ -173,6 +173,69 @@ def _q_kg_cooccurrence(sf_dir: str):
     return cooccurrence_edges(triples)
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Entity centrality over the constructed KG: integer-quantized PageRank
+    (5 fixed iterations, scale 10^12, d=85/100) on the symmetrized
+    co-occurrence graph.  Dual-read oracle: the triples table is written to
+    the same fixed parquet path as kg_cooccurrence_edges; DuckDB rebuilds
+    the edge list and unrolls the identical integer recurrence — bit-exact
+    because every step is int64 floor arithmetic on both sides."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lmss_entity_extractor_ray.ops.pagerank import pagerank
+    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    triples = _triples_materialized(sf_dir)
+    out = f"/tmp/graft_kg/triples-{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    triples.select_columns(["subj", "obj"]).write_parquet(out)
+    edges = cooccurrence_edges(triples).materialize()
+    # IRI vocabulary is ontology-bounded (~10^4 classes at LMSS scale), so a
+    # driver-side sorted vocab + broadcast is the scale-correct id map — it
+    # never grows with the corpus.
+    iris = sorted(set(edges.unique("iri_a")) | set(edges.unique("iri_b")))
+    if not iris:
+        return pa.table(
+            {"iri": pa.array([], pa.string()), "rank_q": pa.array([], pa.int64())}
+        )
+    import ray as _ray
+
+    vocab_ref = _ray.put(pa.array(iris, pa.string()))
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        a = pc.index_in(t.column("iri_a"), value_set=vocab)
+        b = pc.index_in(t.column("iri_b"), value_set=vocab)
+        an = np.asarray(a, dtype=np.int64)
+        bn = np.asarray(b, dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([an, bn]), pa.int64()),
+                "dst": pa.array(np.concatenate([bn, an]), pa.int64()),
+            }
+        )
+
+    ranks = pagerank(
+        edges.map_batches(to_ids, batch_format="pyarrow"), iters=5
+    )
+
+    def back(t: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        return pa.table(
+            {
+                "iri": vocab.take(t.column("node")),
+                "rank_q": t.column("rank_q"),
+            }
+        )
+
+    return ranks.map_batches(back, batch_format="pyarrow")
+
+
 def _q_ontology_search(sf_dir: str):
     import pyarrow as pa
 
@@ -1139,6 +1202,43 @@ def _q_filter_parts(sf_dir: str):
     return filter_parts(_read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_retailprice"]))
 
 
+def _pagerank_oracle_sql(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled integer-PageRank oracle over the dual-read triples parquet —
+    the exact recurrence of ops/pagerank.py (int64 floor division at every
+    step, 5 fixed iterations, d = 85/100), one CTE per iteration."""
+    head = f"""
+        WITH t AS (
+            SELECT DISTINCT subj, obj
+            FROM read_parquet('/tmp/graft_kg/triples-sf0.01/*.parquet')),
+        und AS (
+            SELECT DISTINCT a.obj AS ia, b.obj AS ib
+            FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj),
+        e AS (SELECT ia AS src, ib AS dst FROM und
+              UNION ALL SELECT ib AS src, ia AS dst FROM und),
+        od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS iri FROM e),
+        p AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT iri, {scale} // p.n AS r FROM nodes, p)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+        r{i} AS (
+            SELECT nodes.iri,
+                   (15 * {scale}) // (100 * p.n)
+                   + CAST(85 * COALESCE(s.m, 0) // 100 AS BIGINT) AS r
+            FROM nodes CROSS JOIN p
+            LEFT JOIN (
+                SELECT e.dst AS iri, SUM(r{i - 1}.r // od.od) AS m
+                FROM e JOIN r{i - 1} ON e.src = r{i - 1}.iri
+                       JOIN od ON e.src = od.src
+                GROUP BY e.dst) s ON nodes.iri = s.iri)"""
+        )
+    tail = f"""
+        SELECT iri, CAST(r AS BIGINT) AS rank_q FROM r{iters}
+    """
+    return head + "".join(steps) + tail
+
+
 def _q_supplier_balance(sf_dir: str):
     from lmss_entity_extractor_ray.ops.relational import supplier_balance_by_nation
 
@@ -1157,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_branch_histogram": _q_kg_branch_hist,
         "kg_exact_label_hits": _q_kg_exact_label_hits,
         "kg_cooccurrence_edges": _q_kg_cooccurrence,
+        "kg_pagerank": _q_kg_pagerank,
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
         "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
@@ -1315,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj
             GROUP BY 1, 2
         """,
+        "kg_pagerank": _pagerank_oracle_sql(),
         "doc_dispatch_quarantine": """
             -- pdf/docx extract for REAL (pure-Python codecs, filetypes.py):
             -- only the unsupported kind quarantines, and every txt/pdf/docx

@@ -225,6 +225,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "cut_dup_spans",
         "streaming_near_dup",
         "dsir_select",
+        "kg_pagerank",
     ):
         timed(name, lambda n=name: _consume_any(qs[n](sf_dir)))
 

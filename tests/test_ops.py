@@ -986,6 +986,83 @@ class TestGraph:
         assert dropped == [2, 3, 4, 11, 12, 21, 22, 23, 31]
 
 
+class TestPageRank:
+    def _random_edges(self, seed=3, n_nodes=150, n_edges=600):
+        rng = np.random.RandomState(seed)
+        src = rng.randint(0, n_nodes, n_edges).astype("int64")
+        dst = rng.randint(0, n_nodes, n_edges).astype("int64")
+        keep = src != dst
+        return src[keep], dst[keep]
+
+    def test_small_vs_bsp_bit_exact(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.pagerank import pagerank
+
+        src, dst = self._random_edges()
+        edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+        a = pagerank(edges, iters=5).to_pandas()
+        b = pagerank(
+            rd.from_arrow(
+                pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+            ).repartition(7),
+            iters=5,
+            num_partitions=4,
+            small_graph_limit=0,
+        ).to_pandas()
+        ga = dict(zip(a["node"], a["rank_q"]))
+        gb = dict(zip(b["node"], b["rank_q"]))
+        assert ga == gb  # BSP must agree with the single-task path bit-exactly
+
+    def test_matches_float_reference(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.pagerank import pagerank
+
+        src, dst = self._random_edges(seed=11)
+        edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+        got = pagerank(edges, iters=20).to_pandas()
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        outdeg = np.bincount(si, minlength=n).astype(float)
+        r = np.full(n, 1.0 / n)
+        for _ in range(20):
+            contrib = np.zeros(n)
+            np.add.at(contrib, di, (r / np.maximum(outdeg, 1.0))[si])
+            r = 0.15 / n + 0.85 * contrib
+        ref = dict(zip(nodes.tolist(), r))
+        for node, rq in zip(got["node"], got["rank_q"]):
+            # quantization error accumulates ~iters * nodes / scale — tiny
+            assert abs(rq / 1e12 - ref[node]) < 1e-6
+
+    def test_hub_ranks_highest_and_dangling(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.pagerank import pagerank
+
+        # star: spokes 1..5 -> hub 0 (hub is a sink: dangling mass dropped)
+        src = pa.array([1, 2, 3, 4, 5], pa.int64())
+        dst = pa.array([0, 0, 0, 0, 0], pa.int64())
+        df = pagerank(
+            rd.from_arrow(pa.table({"src": src, "dst": dst})), iters=5
+        ).to_pandas()
+        ranks = dict(zip(df["node"], df["rank_q"]))
+        assert ranks[0] > ranks[1]
+        assert len({ranks[i] for i in range(1, 6)}) == 1  # spokes identical
+
+    def test_empty_edges(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.pagerank import pagerank
+
+        empty = rd.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        )
+        assert pagerank(empty).count() == 0
+
+
 class TestTopK:
     def test_group_topk_vs_pandas(self, ray_session):
         import pandas as pd
