@@ -236,6 +236,55 @@ def _q_kg_pagerank(sf_dir: str):
     return ranks.map_batches(back, batch_format="pyarrow")
 
 
+def _q_kg_incremental(sf_dir: str):
+    """Rolling-ingest KG merge: a new crawl shard (overlapping the already-
+    ingested corpus — re-crawled urls produce identical triples) is merged
+    into the graph by a distributed left-anti join on the full triple key
+    (subj, pred, obj); only genuinely NEW triples come back.  Both sides
+    are written to fixed parquet paths so the DuckDB oracle verifies the
+    anti-join (NOT EXISTS) over the exact same inputs.  At 10^12-doc scale
+    this is the nightly-ingest shape: known side ships key columns only
+    through one partition-aligned exchange."""
+    import shutil
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lmss_entity_extractor_ray.ops.join import hash_join
+    from lmss_entity_extractor_ray.ops.partitioning import string_hash64
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    triples = _triples_materialized(sf_dir)
+    base = f"/tmp/graft_kg/triples-{sf_name}-incr"
+    shutil.rmtree(base, ignore_errors=True)
+
+    def bucket_filter(lo: int, hi: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            b = string_hash64(t.column("subj")) % 5
+            return t.filter(pa.array((b >= lo) & (b < hi)))
+
+        return f
+
+    # ingested graph = url-buckets {0,1,2}; new crawl = buckets {2,3,4}
+    # (bucket 2 is the re-crawl overlap the anti-join must drop)
+    triples.map_batches(
+        bucket_filter(0, 3), batch_format="pyarrow"
+    ).write_parquet(f"{base}/ingested")
+    triples.map_batches(
+        bucket_filter(2, 5), batch_format="pyarrow"
+    ).write_parquet(f"{base}/new")
+    new_ds = rd.read_parquet(f"{base}/new")
+    known = rd.read_parquet(
+        f"{base}/ingested", columns=["subj", "pred", "obj"]
+    )
+    return hash_join(
+        new_ds, known, on=["subj", "pred", "obj"], how="left anti"
+    )
+
+
 def _q_ontology_search(sf_dir: str):
     import pyarrow as pa
 
@@ -1258,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_exact_label_hits": _q_kg_exact_label_hits,
         "kg_cooccurrence_edges": _q_kg_cooccurrence,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_incremental_triples": _q_kg_incremental,
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
         "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
@@ -1417,6 +1467,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kg_pagerank": _pagerank_oracle_sql(),
+        "kg_incremental_triples": """
+            SELECT n.*
+            FROM read_parquet('/tmp/graft_kg/triples-sf0.01-incr/new/*.parquet') n
+            WHERE NOT EXISTS (
+                SELECT 1
+                FROM read_parquet('/tmp/graft_kg/triples-sf0.01-incr/ingested/*.parquet') i
+                WHERE i.subj = n.subj AND i.pred = n.pred AND i.obj = n.obj)
+        """,
         "doc_dispatch_quarantine": """
             -- pdf/docx extract for REAL (pure-Python codecs, filetypes.py):
             -- only the unsupported kind quarantines, and every txt/pdf/docx

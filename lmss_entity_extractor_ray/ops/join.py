@@ -37,15 +37,11 @@ def _key_hash(tbl: pa.Table, key: str) -> np.ndarray:
     col = tbl.column(key)
     if pa.types.is_integer(col.type):
         return col_np(tbl, key, np.uint64)
-    import zlib
+    # string keys: vectorized 64-bit hash (routing only — the acero join
+    # below compares the true key values, so collisions cost nothing)
+    from .partitioning import string_hash64
 
-    # string keys: crc32 per row — deterministic across processes, and the
-    # only per-row Python in the operator (integer keys stay vectorized)
-    return np.fromiter(
-        (zlib.crc32((s or "").encode("utf-8")) for s in col.to_pylist()),
-        dtype=np.uint64,
-        count=tbl.num_rows,
-    )
+    return string_hash64(col)
 
 
 def _scatter_shards(tbl: pa.Table, keys: Sequence[str], P: int) -> List[pa.Table]:
