@@ -694,11 +694,96 @@ def run_smoke_sim(n_vecs: int = 1_000_000, dim: int = 64, k: int = 10) -> dict:
     }
 
 
+def run_smoke_graph(n_edges: int = 20_000_000) -> dict:
+    """Graph smoke: BSP PageRank + connected components over a deterministic
+    skewed random graph large enough to force the partitioned paths
+    (> small_graph_limit).  The quadratic in-degree skew creates hub nodes —
+    evidence that the per-partition pre-combine bounds hot-destination
+    traffic.  PageRank's BSP result is checked BIT-EXACT against the
+    single-task numpy path at the same size (both are int64 floor
+    arithmetic, so equality is exact, not approximate)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lmss_entity_extractor_ray.ops.graph import connected_components
+    from lmss_entity_extractor_ray.ops.pagerank import pagerank
+
+    n_nodes = max(1000, n_edges // 10)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _mix(x):
+        # splitmix64 finalizer — pure function of the edge index
+        with np.errstate(over="ignore"):
+            x = (x + GOLD) * np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return x
+
+    def gen(batch):
+        i = batch["id"].astype(np.uint64)
+        src = (_mix(i) % np.uint64(n_nodes)).astype(np.int64)
+        # quadratic skew: low node ids become high-in-degree hubs
+        u = _mix(i ^ np.uint64(0xDEADBEEF)).astype(np.float64) / 2.0**64
+        dst = (u * u * n_nodes).astype(np.int64)
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    def edges():
+        return rd.range(n_edges, override_num_blocks=max(CPUS * 2, 16)).map_batches(
+            gen, batch_format="numpy"
+        )
+
+    timings: dict = {}
+    info: dict = {"n_edges": n_edges, "n_nodes": n_nodes}
+
+    t0 = time.perf_counter()
+    e = edges().materialize()
+    timings["edges_materialize"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    bsp = pagerank(e, iters=5, small_graph_limit=0).materialize()
+    timings["pagerank_bsp_5it"] = round(time.perf_counter() - t0, 2)
+    info["pagerank_rows"] = bsp.count()
+
+    t0 = time.perf_counter()
+    single = pagerank(e, iters=5, small_graph_limit=1 << 62).materialize()
+    timings["pagerank_single_task_5it"] = round(time.perf_counter() - t0, 2)
+
+    a = bsp.to_pandas().sort_values("node").reset_index(drop=True)
+    b = single.to_pandas().sort_values("node").reset_index(drop=True)
+    info["pagerank_bsp_bit_exact"] = bool(
+        (a["node"].values == b["node"].values).all()
+        and (a["rank_q"].values == b["rank_q"].values).all()
+    )
+
+    t0 = time.perf_counter()
+    cc = connected_components(
+        e, a="src", b="dst", small_graph_limit=0
+    ).materialize()
+    timings["connected_components_bsp"] = round(time.perf_counter() - t0, 2)
+    info["cc_rows"] = cc.count()
+
+    return {
+        "metric": "smoke_graph_total_sec",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": timings,
+        "info": info,
+        "sf": f"edges-{n_edges}",
+        "num_cpus": CPUS,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--smoke", nargs="?", const=200_000, type=int, metavar="NDOCS")
     ap.add_argument("--smoke-sim", nargs="?", const=1_000_000, type=int, metavar="NVECS")
+    ap.add_argument("--smoke-graph", nargs="?", const=20_000_000, type=int, metavar="NEDGES")
     ap.add_argument("--kg-child", nargs=2, metavar=("CPUS", "NDOCS"))
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
@@ -723,6 +808,15 @@ def main():
     if args.smoke_sim:
         _init_ray(CPUS)
         result = run_smoke_sim(args.smoke_sim)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))
+        return
+
+    if args.smoke_graph:
+        _init_ray(CPUS)
+        result = run_smoke_graph(args.smoke_graph)
         import ray
 
         ray.shutdown()
