@@ -236,6 +236,62 @@ def _q_kg_pagerank(sf_dir: str):
     return ranks.map_batches(back, batch_format="pyarrow")
 
 
+def _q_kg_pagerank_weighted(sf_dir: str):
+    """Weighted centrality: same integer recurrence, but each co-occurrence
+    edge contributes proportionally to its document count — the natural
+    'which entities anchor the graph' ranking.  Same dual-read oracle
+    pattern as kg_pagerank (the triples parquet is re-written here so the
+    query is self-contained regardless of driver execution order)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lmss_entity_extractor_ray.ops.pagerank import pagerank
+    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    triples = _triples_materialized(sf_dir)
+    out = f"/tmp/graft_kg/triples-{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    triples.select_columns(["subj", "obj"]).write_parquet(out)
+    edges = cooccurrence_edges(triples).materialize()
+    iris = sorted(set(edges.unique("iri_a")) | set(edges.unique("iri_b")))
+    if not iris:
+        return pa.table(
+            {"iri": pa.array([], pa.string()), "rank_q": pa.array([], pa.int64())}
+        )
+    import ray as _ray
+
+    vocab_ref = _ray.put(pa.array(iris, pa.string()))
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        an = np.asarray(pc.index_in(t.column("iri_a"), value_set=vocab), dtype=np.int64)
+        bn = np.asarray(pc.index_in(t.column("iri_b"), value_set=vocab), dtype=np.int64)
+        w = np.asarray(t.column("n_docs"), dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([an, bn]), pa.int64()),
+                "dst": pa.array(np.concatenate([bn, an]), pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            }
+        )
+
+    ranks = pagerank(
+        edges.map_batches(to_ids, batch_format="pyarrow"), weight="w", iters=5
+    )
+
+    def back(t: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        return pa.table(
+            {"iri": vocab.take(t.column("node")), "rank_q": t.column("rank_q")}
+        )
+
+    return ranks.map_batches(back, batch_format="pyarrow")
+
+
 def _q_kg_incremental(sf_dir: str):
     """Rolling-ingest KG merge: a new crawl shard (overlapping the already-
     ingested corpus — re-crawled urls produce identical triples) is merged
@@ -1251,20 +1307,37 @@ def _q_filter_parts(sf_dir: str):
     return filter_parts(_read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_retailprice"]))
 
 
-def _pagerank_oracle_sql(iters: int = 5, scale: int = 10**12) -> str:
+def _pagerank_oracle_sql(
+    iters: int = 5, scale: int = 10**12, weighted: bool = False
+) -> str:
     """Unrolled integer-PageRank oracle over the dual-read triples parquet —
     the exact recurrence of ops/pagerank.py (int64 floor division at every
-    step, 5 fixed iterations, d = 85/100), one CTE per iteration."""
-    head = f"""
-        WITH t AS (
-            SELECT DISTINCT subj, obj
-            FROM read_parquet('/tmp/graft_kg/triples-sf0.01/*.parquet')),
+    step, 5 fixed iterations, d = 85/100), one CTE per iteration.  The
+    weighted variant divides each edge's contribution as
+    (r * w) // wsum(src) with w = co-occurrence doc count."""
+    if weighted:
+        und = """
+        und AS (
+            SELECT a.obj AS ia, b.obj AS ib, count(*) AS w
+            FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj
+            GROUP BY 1, 2),
+        e AS (SELECT ia AS src, ib AS dst, w FROM und
+              UNION ALL SELECT ib AS src, ia AS dst, w FROM und),
+        od AS (SELECT src, SUM(w) AS od FROM e GROUP BY src)"""
+        msg = "SUM((r{prev}.r * e.w) // od.od) AS m"
+    else:
+        und = """
         und AS (
             SELECT DISTINCT a.obj AS ia, b.obj AS ib
             FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj),
         e AS (SELECT ia AS src, ib AS dst FROM und
               UNION ALL SELECT ib AS src, ia AS dst FROM und),
-        od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        od AS (SELECT src, count(*) AS od FROM e GROUP BY src)"""
+        msg = "SUM(r{prev}.r // od.od) AS m"
+    head = f"""
+        WITH t AS (
+            SELECT DISTINCT subj, obj
+            FROM read_parquet('/tmp/graft_kg/triples-sf0.01/*.parquet')),{und},
         nodes AS (SELECT DISTINCT src AS iri FROM e),
         p AS (SELECT count(*) AS n FROM nodes),
         r0 AS (SELECT iri, {scale} // p.n AS r FROM nodes, p)"""
@@ -1277,7 +1350,7 @@ def _pagerank_oracle_sql(iters: int = 5, scale: int = 10**12) -> str:
                    + CAST(85 * COALESCE(s.m, 0) // 100 AS BIGINT) AS r
             FROM nodes CROSS JOIN p
             LEFT JOIN (
-                SELECT e.dst AS iri, SUM(r{i - 1}.r // od.od) AS m
+                SELECT e.dst AS iri, {msg.format(prev=i - 1)}
                 FROM e JOIN r{i - 1} ON e.src = r{i - 1}.iri
                        JOIN od ON e.src = od.src
                 GROUP BY e.dst) s ON nodes.iri = s.iri)"""
@@ -1307,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_exact_label_hits": _q_kg_exact_label_hits,
         "kg_cooccurrence_edges": _q_kg_cooccurrence,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_incremental_triples": _q_kg_incremental,
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
@@ -1467,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kg_pagerank": _pagerank_oracle_sql(),
+        "kg_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
         "kg_incremental_triples": """
             SELECT n.*
             FROM read_parquet('/tmp/graft_kg/triples-sf0.01-incr/new/*.parquet') n

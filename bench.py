@@ -226,6 +226,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "streaming_near_dup",
         "dsir_select",
         "kg_pagerank",
+        "kg_pagerank_weighted",
         "kg_incremental_triples",
     ):
         timed(name, lambda n=name: _consume_any(qs[n](sf_dir)))

@@ -67,26 +67,37 @@ def _iterate_local(
     scale: int,
     d_num: int,
     d_den: int,
+    w: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Reference single-array iteration (nodes sorted ascending).
 
     Shared by the small path and by tests as the oracle for the BSP path.
+    Weighted contribution is floored PER EDGE: (r(u) * w_e) // wsum(u) —
+    with w_e = 1 everywhere this equals the unweighted r(u) // outdeg(u).
     """
     n = len(nodes)
     si = np.searchsorted(nodes, src)
     di = np.searchsorted(nodes, dst)
-    outdeg = np.bincount(si, minlength=n).astype(np.int64)
+    if w is None:
+        per_node = np.bincount(si, minlength=n).astype(np.int64)  # outdeg
+    else:
+        per_node = np.zeros(n, dtype=np.int64)
+        np.add.at(per_node, si, w.astype(np.int64))  # wsum, int64-exact
     # sort edges by destination once; per-iteration message fold is a
     # reduceat over precomputed run boundaries (int64-exact, no float path)
     order = np.argsort(di, kind="stable")
     si, di = si[order], di[order]
+    we = None if w is None else w[order].astype(np.int64)
     starts = np.concatenate(([0], np.nonzero(di[1:] != di[:-1])[0] + 1))
     dst_nodes = di[starts]
     base = (d_den - d_num) * scale // (d_den * n)
     r = np.full(n, scale // n, dtype=np.int64)
-    safe_deg = np.maximum(outdeg, 1)
+    safe = np.maximum(per_node, 1)
     for _ in range(iters):
-        contrib = (r // safe_deg)[si]
+        if we is None:
+            contrib = (r // safe)[si]
+        else:
+            contrib = r[si] * we // safe[si]
         msum = np.zeros(n, dtype=np.int64)
         if len(si):
             msum[dst_nodes] = np.add.reduceat(contrib, starts)
@@ -96,7 +107,8 @@ def _iterate_local(
 
 @ray.remote
 def _pr_local(
-    src_col: str, dst_col: str, iters: int, scale: int, d_num: int, d_den: int,
+    src_col: str, dst_col: str, weight_col: Optional[str],
+    iters: int, scale: int, d_num: int, d_den: int,
     *tables: pa.Table,
 ) -> pa.Table:
     live = [t for t in tables if t.num_rows]
@@ -105,8 +117,9 @@ def _pr_local(
     t = pa.concat_tables(live)
     src = col_np(t, src_col)
     dst = col_np(t, dst_col)
+    w = None if weight_col is None else col_np(t, weight_col)
     nodes = np.unique(np.concatenate([src, dst]))
-    r = _iterate_local(src, dst, nodes, iters, scale, d_num, d_den)
+    r = _iterate_local(src, dst, nodes, iters, scale, d_num, d_den, w=w)
     return pa.table(
         {"node": pa.array(nodes, pa.int64()), "rank_q": pa.array(r, pa.int64())}
     )
@@ -119,17 +132,27 @@ def _pr_local(
 _EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
 
+_WEDGE_SCHEMA = pa.schema(
+    [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.int64())]
+)
+
+
 @ray.remote
-def _pr_scatter(tbl: pa.Table, src_col: str, dst_col: str, P: int) -> List[pa.Table]:
+def _pr_scatter(
+    tbl: pa.Table, src_col: str, dst_col: str, weight_col: Optional[str], P: int
+) -> List[pa.Table]:
     """Split one edge block by hash(src) % P (edges stay directed)."""
+    schema = _EDGE_SCHEMA if weight_col is None else _WEDGE_SCHEMA
     if tbl.num_rows == 0:
-        return [_EDGE_SCHEMA.empty_table()] * P
+        return [schema.empty_table()] * P
     src = col_np(tbl, src_col)
-    edges = pa.table(
-        {"src": pa.array(src, pa.int64()),
-         "dst": pa.array(col_np(tbl, dst_col), pa.int64())}
-    )
-    return _split_by_part(edges, _part_of(src, P), P)
+    cols = {
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(col_np(tbl, dst_col), pa.int64()),
+    }
+    if weight_col is not None:
+        cols["w"] = pa.array(col_np(tbl, weight_col), pa.int64())
+    return _split_by_part(pa.table(cols), _part_of(src, P), P)
 
 
 @ray.remote
@@ -144,27 +167,38 @@ def _pr_node_scatter(tbl: pa.Table, src_col: str, dst_col: str, P: int) -> List[
 
 
 @ray.remote(num_returns=2)
-def _pr_build_edges(*shards: pa.Table) -> Tuple[pa.Table, pa.Table]:
+def _pr_build_edges(weighted: bool, *shards: pa.Table) -> Tuple[pa.Table, pa.Table]:
     """One partition's edges sorted by dst (for per-dst pre-combine) plus
-    its outdegree table sorted by src (srcs are partition-local)."""
+    its per-src divisor table (outdegree, or weight sum when weighted) —
+    srcs are partition-local by the scatter key."""
     deg_schema = pa.schema([("src", pa.int64()), ("od", pa.int64())])
-    t = pa.concat_tables([s for s in shards if s.num_rows] or [_EDGE_SCHEMA.empty_table()])
+    empty = _WEDGE_SCHEMA if weighted else _EDGE_SCHEMA
+    t = pa.concat_tables([s for s in shards if s.num_rows] or [empty.empty_table()])
     if t.num_rows == 0:
-        return _EDGE_SCHEMA.empty_table(), deg_schema.empty_table()
+        return empty.empty_table(), deg_schema.empty_table()
     src = col_np(t, "src")
     dst = col_np(t, "dst")
-    su = np.sort(src)
+    sorder = np.argsort(src, kind="stable")
+    su = src[sorder]
     starts = np.concatenate(([0], np.nonzero(su[1:] != su[:-1])[0] + 1))
     deg_nodes = su[starts]
-    deg = np.diff(np.concatenate((starts, [len(su)])))
+    if weighted:
+        wsorted = col_np(t, "w")[sorder]
+        deg = np.add.reduceat(wsorted, starts)
+    else:
+        deg = np.diff(np.concatenate((starts, [len(su)])))
     order = np.argsort(dst, kind="stable")
-    edges = pa.table(
-        {"src": pa.array(src[order], pa.int64()), "dst": pa.array(dst[order], pa.int64())}
-    )
+    cols = {
+        "src": pa.array(src[order], pa.int64()),
+        "dst": pa.array(dst[order], pa.int64()),
+    }
+    if weighted:
+        cols["w"] = pa.array(col_np(t, "w")[order], pa.int64())
     degs = pa.table(
-        {"src": pa.array(deg_nodes, pa.int64()), "od": pa.array(deg, pa.int64())}
+        {"src": pa.array(deg_nodes, pa.int64()),
+         "od": pa.array(deg.astype(np.int64), pa.int64())}
     )
-    return edges, degs
+    return pa.table(cols), degs
 
 
 @ray.remote
@@ -193,8 +227,13 @@ def _pr_messages(
     r = col_np(ranks, "rank_q")
     dnodes = col_np(degs, "src")
     od = col_np(degs, "od")
-    contrib_per_node = r[np.searchsorted(rnodes, dnodes)] // od
-    contrib = contrib_per_node[np.searchsorted(dnodes, src)]
+    if "w" in edges.column_names:
+        pos = np.searchsorted(dnodes, src)
+        rank_per_edge = r[np.searchsorted(rnodes, dnodes)][pos]
+        contrib = rank_per_edge * col_np(edges, "w") // od[pos]
+    else:
+        contrib_per_node = r[np.searchsorted(rnodes, dnodes)] // od
+        contrib = contrib_per_node[np.searchsorted(dnodes, src)]
     # edges arrive sorted by dst from _pr_build_edges
     starts = np.concatenate(([0], np.nonzero(dst[1:] != dst[:-1])[0] + 1))
     dn = dst[starts]
@@ -236,6 +275,7 @@ def pagerank(
     edges_ds: rd.Dataset,
     src: str = "src",
     dst: str = "dst",
+    weight: Optional[str] = None,
     iters: int = 5,
     scale: int = 10**12,
     damping_num: int = 85,
@@ -247,11 +287,18 @@ def pagerank(
     iterations of integer-quantized PageRank (see module docstring for the
     exact recurrence — it is reproducible verbatim in SQL).
 
+    ``weight`` names an int64 edge-weight column: the contribution along
+    edge (u, v, w) becomes (r(u) * w) // wsum(u), floored PER EDGE (w = 1
+    everywhere reduces to the unweighted recurrence exactly).  Weights must
+    satisfy max(w) * scale < 2^63 so the int64 product cannot overflow —
+    the same bound under which DuckDB's BIGINT arithmetic reproduces it.
+
     Size-adaptive like connected_components: small edge lists run as one
     remote numpy task; larger graphs take the partitioned BSP loop whose
     per-iteration traffic is distinct-destination rows, not edges.
     """
-    blocks = edges_ds.select_columns([src, dst]).to_arrow_refs()
+    cols = [src, dst] if weight is None else [src, dst, weight]
+    blocks = edges_ds.select_columns(cols).to_arrow_refs()
     if not blocks:
         return rd.from_arrow(_RANK_SCHEMA.empty_table())
     total = sum(ray.get([_nrows.remote(t) for t in blocks]))
@@ -259,7 +306,9 @@ def pagerank(
         return rd.from_arrow(_RANK_SCHEMA.empty_table())
     if total <= small_graph_limit:
         return rd.from_arrow_refs(
-            [_pr_local.remote(src, dst, iters, scale, damping_num, damping_den, *blocks)]
+            [_pr_local.remote(
+                src, dst, weight, iters, scale, damping_num, damping_den, *blocks
+            )]
         )
     if num_partitions is None:
         num_partitions = min(
@@ -267,7 +316,8 @@ def pagerank(
         )
     P = max(2, num_partitions)
     edge_shards = [
-        _pr_scatter.options(num_returns=P).remote(blk, src, dst, P) for blk in blocks
+        _pr_scatter.options(num_returns=P).remote(blk, src, dst, weight, P)
+        for blk in blocks
     ]
     node_shards = [
         _pr_node_scatter.options(num_returns=P).remote(blk, src, dst, P)
@@ -275,7 +325,7 @@ def pagerank(
     ]
     edges, degs = [], []
     for p in range(P):
-        e, dg = _pr_build_edges.remote(*[s[p] for s in edge_shards])
+        e, dg = _pr_build_edges.remote(weight is not None, *[s[p] for s in edge_shards])
         edges.append(e)
         degs.append(dg)
     # N = global node count — one tiny metadata round over the per-partition

@@ -1062,6 +1062,47 @@ class TestPageRank:
         )
         assert pagerank(empty).count() == 0
 
+    def test_weighted_small_vs_bsp_and_unit_weight_equivalence(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.pagerank import pagerank
+
+        src, dst = self._random_edges(seed=23)
+        rng = np.random.RandomState(5)
+        w = rng.randint(1, 40, len(src)).astype("int64")
+
+        def edges(weights):
+            return rd.from_arrow(
+                pa.table(
+                    {"src": pa.array(src), "dst": pa.array(dst),
+                     "w": pa.array(weights)}
+                )
+            )
+
+        a = pagerank(edges(w), weight="w", iters=5).to_pandas()
+        b = pagerank(
+            edges(w).repartition(6), weight="w", iters=5,
+            num_partitions=4, small_graph_limit=0,
+        ).to_pandas()
+        assert dict(zip(a["node"], a["rank_q"])) == dict(zip(b["node"], b["rank_q"]))
+        # weight = 1 everywhere must reduce to the unweighted recurrence
+        ones = np.ones(len(src), dtype="int64")
+        u = pagerank(edges(ones), weight="w", iters=5).to_pandas()
+        plain = pagerank(edges(ones), iters=5).to_pandas()
+        assert dict(zip(u["node"], u["rank_q"])) == dict(
+            zip(plain["node"], plain["rank_q"])
+        )
+        # heavier in-edges raise rank: two sources feeding v=0 vs v=1
+        src2 = pa.array([2, 3, 2, 3], pa.int64())
+        dst2 = pa.array([0, 0, 1, 1], pa.int64())
+        w2 = pa.array([9, 9, 1, 1], pa.int64())
+        df = pagerank(
+            rd.from_arrow(pa.table({"src": src2, "dst": dst2, "w": w2})),
+            weight="w", iters=5,
+        ).to_pandas()
+        r = dict(zip(df["node"], df["rank_q"]))
+        assert r[0] > r[1]
+
 
 class TestTopK:
     def test_group_topk_vs_pandas(self, ray_session):
