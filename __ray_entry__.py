@@ -1295,6 +1295,17 @@ def _q_top_customers(sf_dir: str):
     )
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization of the event stream (30-min gap): one hash
+    exchange on the user key, one vectorized run-boundary scan per
+    partition."""
+    from lmss_entity_extractor_ray.ops.windows import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    )
+
+
 def _q_events_by_type(sf_dir: str):
     from lmss_entity_extractor_ray.ops.relational import events_by_type
 
@@ -1467,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
+        "sessionize": _q_sessionize,
         "filter_parts": _q_filter_parts,
         "supplier_balance_by_nation": _q_supplier_balance,
     }
@@ -2453,6 +2465,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY o.o_custkey, c.c_name
             ORDER BY revenue_c2 DESC, c_custkey LIMIT 10
+        """,
+        "sessionize": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM o)
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   count(*) AS n_events,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS vsum_c2
+            FROM s GROUP BY 1, 2
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n,

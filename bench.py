@@ -200,6 +200,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "kmeans_clusters",
         "events_topk_by_type",
         "user_running_value",
+        "sessionize",
         "tfidf_topk",
         "packed_sequences",
         "orders_join_customer",

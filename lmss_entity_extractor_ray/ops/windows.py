@@ -129,3 +129,107 @@ def sliding_window_agg(
         finalize(final), [("window_start", "ascending"), (key, "ascending")]
     )
     return rd.from_arrow(final)
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap-based)
+# ---------------------------------------------------------------------------
+
+_SESS_GOLD = None  # set lazily to avoid importing numpy at module import
+
+
+def sessionize(
+    events: rd.Dataset,
+    gap_us: int = 1_800_000_000,  # 30 min
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Gap-based sessionization: one row per (user, session) with event
+    count, start/end time (epoch microseconds) and the cent-quantized value
+    sum.  A new session starts when the gap to the user's previous event
+    exceeds ``gap_us`` (events ordered by (ts, event_id) — ties can't split
+    a session, so tie order never changes the result).
+
+    Shape: ONE hash exchange on the user key (a user's whole event stream
+    co-locates — the partitioning assumption is per-user event volume fits
+    a partition, the same contract every per-user window op here relies
+    on), then one vectorized lexsort + run-boundary scan per PARTITION —
+    P Python calls total, never one per user.  The quantized value sum
+    (floor(v*100 + 0.5) per row, int64 sum) keeps the aggregate
+    order-independent and SQL-oracle-exact.
+    """
+    import numpy as np
+
+    from .partitioning import shuffle_partitions
+
+    P = max(2, num_partitions or shuffle_partitions(events))
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            part = ((u.astype(np.uint64) * GOLD) % np.uint64(P)).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": batch.column(ts_col).cast(pa.int64()),
+                "eid": batch.column(id_col).cast(pa.int64()),
+                "v_c2": pc.floor(
+                    pc.add(pc.multiply(batch.column(value_col), 100.0), 0.5)
+                ).cast(pa.int64()),
+                "part": pa.array(part),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_no": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "vsum_c2": pa.array([], pa.int64()),
+                }
+            )
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("eid").to_numpy(zero_copy_only=False)
+        v = group.column("v_c2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, v = u[order], ts[order], v[order]
+        n = len(u)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap_brk = np.concatenate(([False], (ts[1:] - ts[:-1]) > gap_us))
+        within_brk = gap_brk & ~new_user
+        # per-user session number: cumulative within-user breaks, reset at
+        # each user start (subtract the running count at the user's first row)
+        cs = np.cumsum(within_brk.astype(np.int64))
+        user_first = np.nonzero(new_user)[0]
+        reset = np.repeat(cs[user_first], np.diff(np.concatenate((user_first, [n]))))
+        session_no = cs - reset
+        starts = np.nonzero(new_user | within_brk)[0]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_no": pa.array(session_no[starts], pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.concatenate((starts, [n]))), pa.int64()
+                ),
+                "start_us": pa.array(ts[starts], pa.int64()),
+                "end_us": pa.array(
+                    ts[np.concatenate((starts[1:] - 1, [n - 1]))], pa.int64()
+                ),
+                "vsum_c2": pa.array(np.add.reduceat(v, starts), pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finish, batch_format="pyarrow")
+    )

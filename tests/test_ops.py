@@ -605,6 +605,75 @@ class TestWindows:
             merged["sum_value_c2"] == np.floor(merged["sum"] * 100 + 0.5).astype(np.int64)
         ).all()
 
+    def test_sessionize_vs_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.windows import sessionize
+
+        tbl = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+        )
+        got = (
+            sessionize(rd.from_arrow(tbl).repartition(6), num_partitions=4)
+            .to_pandas()
+            .sort_values(["user_id", "session_no"])
+            .reset_index(drop=True)
+        )
+        pdf = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        pdf["ts_us"] = pdf["ts"].astype("int64")
+        gap = pdf.groupby("user_id")["ts_us"].diff()
+        pdf["brk"] = ((gap > 1_800_000_000) & gap.notna()).astype("int64")
+        pdf["session_no"] = pdf.groupby("user_id")["brk"].cumsum()
+        pdf["v_c2"] = np.floor(pdf["value"] * 100 + 0.5).astype("int64")
+        exp = (
+            pdf.groupby(["user_id", "session_no"])
+            .agg(
+                n_events=("ts_us", "size"),
+                start_us=("ts_us", "min"),
+                end_us=("ts_us", "max"),
+                vsum_c2=("v_c2", "sum"),
+            )
+            .reset_index()
+            .sort_values(["user_id", "session_no"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        for c in ("user_id", "session_no", "n_events", "start_us", "end_us", "vsum_c2"):
+            assert (got[c].values == exp[c].values).all(), c
+
+    def test_sessionize_golden(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.windows import sessionize
+
+        us = 10**6
+        # user 1: three events 0s, 10s, 2000s (gap 1990s > 30min? no — use
+        # big gaps); user 2: single event
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array(
+                    [0, 10 * us, 10 * us + 1_800_000_001, 10 * us + 1_800_000_002, 0],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+            }
+        )
+        got = (
+            sessionize(rd.from_arrow(tbl))
+            .to_pandas()
+            .sort_values(["user_id", "session_no"])
+            .reset_index(drop=True)
+        )
+        # user 1: events 1,2 in session 0; gap 1_800_000_001-10s... events 3,4
+        # land 1800.000001s after event 2 -> new session (gap > 30 min)
+        assert got["user_id"].tolist() == [1, 1, 2]
+        assert got["session_no"].tolist() == [0, 1, 0]
+        assert got["n_events"].tolist() == [2, 2, 1]
+        assert got["vsum_c2"].tolist() == [300, 700, 500]
+
     def test_sliding_window_vs_pandas(self, ray_session):
         import pandas as pd
         import pyarrow.parquet as pq
