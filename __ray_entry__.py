@@ -292,6 +292,27 @@ def _q_kg_pagerank_weighted(sf_dir: str):
     return ranks.map_batches(back, batch_format="pyarrow")
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Per-entity triangle counts over the co-occurrence KG — the local
+    clustering signal (which entities sit inside tight co-mention cliques).
+    Wedge join + closing semi-join on the shared hash_join machinery; the
+    corner counts pre-combine per block before the bounded coordinator
+    fold.  Dual-read oracle: 3-way SQL self-join over the same written
+    triples parquet."""
+    import shutil
+
+    from lmss_entity_extractor_ray.ops.graph import triangle_counts
+    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    triples = _triples_materialized(sf_dir)
+    out = f"/tmp/graft_kg/triples-{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    triples.select_columns(["subj", "obj"]).write_parquet(out)
+    edges = cooccurrence_edges(triples).select_columns(["iri_a", "iri_b"])
+    return triangle_counts(edges, a="iri_a", b="iri_b", node_name="iri")
+
+
 def _q_kg_incremental(sf_dir: str):
     """Rolling-ingest KG merge: a new crawl shard (overlapping the already-
     ingested corpus — re-crawled urls produce identical triples) is merged
@@ -1392,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence_edges": _q_kg_cooccurrence,
         "kg_pagerank": _q_kg_pagerank,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "kg_triangles": _q_kg_triangles,
         "kg_incremental_triples": _q_kg_incremental,
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
@@ -1554,6 +1576,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_oracle_sql(),
         "kg_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
+        "kg_triangles": """
+            WITH t AS (
+                SELECT DISTINCT subj, obj
+                FROM read_parquet('/tmp/graft_kg/triples-sf0.01/*.parquet')),
+            und AS (
+                SELECT DISTINCT a.obj AS ia, b.obj AS ib
+                FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj),
+            tri AS (
+                SELECT e1.ia AS x, e1.ib AS y, e2.ib AS z
+                FROM und e1
+                JOIN und e2 ON e2.ia = e1.ia AND e1.ib < e2.ib
+                JOIN und e3 ON e3.ia = e1.ib AND e3.ib = e2.ib),
+            c AS (SELECT x AS iri FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+            SELECT iri, count(*) AS n_triangles FROM c GROUP BY 1
+        """,
         "kg_incremental_triples": """
             SELECT n.*
             FROM read_parquet('/tmp/graft_kg/triples-sf0.01-incr/new/*.parquet') n

@@ -330,3 +330,81 @@ def keep_canonical(
         return batch.filter(pa.array(d[pos] != ids))
 
     return docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+def triangle_counts(
+    edges_ds: rd.Dataset,
+    a: str = "a",
+    b: str = "b",
+    node_name: str = "node",
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Per-node triangle counts over a DISTINCT oriented edge list
+    (each undirected edge exactly once, with ``a < b`` — the
+    co-occurrence graph's native shape).
+
+    Wedge-join formulation on the existing exchange machinery: wedges
+    (b, c) sharing a low endpoint come from one self-hash_join on ``a``,
+    and a second semi-join closes them against the edge set — two
+    partition-aligned exchanges total, no per-node Python.  Wedge volume
+    is sum(d_a^2)/2 over LOW endpoints: at web scale orient edges by
+    DEGREE (low-degree node first) before calling to bound the wedge
+    explosion at hub nodes; the id orientation used here keeps the result
+    oracle-reproducible with a plain 3-way SQL self-join (same triangles
+    either way — orientation only changes which endpoint generates the
+    wedge).
+    """
+    from .join import hash_join
+
+    wedges = hash_join(
+        edges_ds, edges_ds, on=a, how="inner", right_suffix="_r",
+        num_partitions=num_partitions,
+    )
+    bl, br = b, f"{b}_r"
+
+    def ordered(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        import pyarrow.compute as pc
+
+        return t.filter(pc.less(t.column(bl), t.column(br)))
+
+    wedges = wedges.map_batches(ordered, batch_format="pyarrow")
+    tris = hash_join(
+        wedges, edges_ds.select_columns([a, b]), on=[bl, br], right_on=[a, b],
+        how="left semi", num_partitions=num_partitions,
+    )
+
+    def corner_partial(t: pa.Table) -> pa.Table:
+        # one row per triangle corner, then a block-local pre-count: the
+        # downstream combine ships <= distinct-node rows per block
+        allc = pa.chunked_array(
+            [t.column(a).combine_chunks(), t.column(bl).combine_chunks(),
+             t.column(br).combine_chunks()]
+        )
+        g = pa.table({node_name: allc}).group_by([node_name]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([node_name, "p_n"])
+
+    from .combine import combine_partials
+
+    partials = tris.map_batches(corner_partial, batch_format="pyarrow")
+    final = combine_partials(
+        partials,
+        [node_name],
+        [("p_n", "sum", "n_triangles")],
+        schema=pa.schema([(node_name, _col_dtype(edges_ds, a)), ("p_n", pa.int64())]),
+    )
+    return rd.from_arrow(final)
+
+
+def _col_dtype(ds: rd.Dataset, col: str):
+    try:
+        return ds.schema().base_schema.field(col).type
+    except Exception:
+        return pa.string()

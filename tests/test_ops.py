@@ -1055,6 +1055,59 @@ class TestGraph:
         assert dropped == [2, 3, 4, 11, 12, 21, 22, 23, 31]
 
 
+class TestTriangles:
+    def test_vs_bruteforce(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import triangle_counts
+
+        rng = np.random.RandomState(9)
+        n_nodes = 40
+        cand = [
+            (i, j) for i in range(n_nodes) for j in range(i + 1, n_nodes)
+        ]
+        pick = rng.rand(len(cand)) < 0.2
+        edges = [e for e, p in zip(cand, pick) if p]
+        eset = set(edges)
+        exp: dict = {}
+        for x, y, z in itertools.combinations(range(n_nodes), 3):
+            if (x, y) in eset and (x, z) in eset and (y, z) in eset:
+                for v in (x, y, z):
+                    exp[v] = exp.get(v, 0) + 1
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([e[0] for e in edges], pa.int64()),
+                    "b": pa.array([e[1] for e in edges], pa.int64()),
+                }
+            )
+        ).repartition(4)
+        got = triangle_counts(ds).to_pandas()
+        assert dict(zip(got["node"], got["n_triangles"])) == exp
+
+    def test_string_keys_and_no_triangles(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import triangle_counts
+
+        # square without diagonals: zero triangles -> empty result
+        sq = rd.from_arrow(
+            pa.table(
+                {"a": pa.array(["a", "a", "b", "c"]),
+                 "b": pa.array(["b", "c", "d", "d"])}
+            )
+        )
+        assert triangle_counts(sq).count() == 0
+        # one closed triangle on string keys
+        tri = rd.from_arrow(
+            pa.table({"a": pa.array(["x", "x", "y"]), "b": pa.array(["y", "z", "z"])})
+        )
+        got = triangle_counts(tri).to_pandas()
+        assert dict(zip(got["node"], got["n_triangles"])) == {"x": 1, "y": 1, "z": 1}
+
+
 class TestPageRank:
     def _random_edges(self, seed=3, n_nodes=150, n_edges=600):
         rng = np.random.RandomState(seed)
