@@ -313,6 +313,66 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(edges, a="iri_a", b="iri_b", node_name="iri")
 
 
+def _q_kg_communities(sf_dir: str):
+    """Entity communities: connected components over the co-occurrence
+    graph thresholded at n_docs >= 2 (single co-mentions are noise edges).
+    IRIs map to SORTED dense ids, so the component minimum in id space is
+    the lexicographic minimum IRI — exactly what the recursive-CTE oracle
+    computes with min() over strings."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lmss_entity_extractor_ray.ops.graph import connected_components
+    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    triples = _triples_materialized(sf_dir)
+    out = f"/tmp/graft_kg/triples-{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    triples.select_columns(["subj", "obj"]).write_parquet(out)
+    edges = (
+        cooccurrence_edges(triples)
+        .filter(expr="n_docs >= 2")
+        .select_columns(["iri_a", "iri_b"])
+        .materialize()
+    )
+    iris = sorted(set(edges.unique("iri_a")) | set(edges.unique("iri_b")))
+    if not iris:
+        return pa.table(
+            {"iri": pa.array([], pa.string()), "community": pa.array([], pa.string())}
+        )
+    import ray as _ray
+
+    vocab_ref = _ray.put(pa.array(iris, pa.string()))
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        return pa.table(
+            {
+                "a": pc.index_in(t.column("iri_a"), value_set=vocab).cast(pa.int64()),
+                "b": pc.index_in(t.column("iri_b"), value_set=vocab).cast(pa.int64()),
+            }
+        )
+
+    cc = connected_components(
+        edges.map_batches(to_ids, batch_format="pyarrow"), node_name="node"
+    )
+
+    def back(t: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        return pa.table(
+            {
+                "iri": vocab.take(t.column("node")),
+                "community": vocab.take(t.column("cluster_id")),
+            }
+        )
+
+    return cc.map_batches(back, batch_format="pyarrow")
+
+
 def _q_kg_incremental(sf_dir: str):
     """Rolling-ingest KG merge: a new crawl shard (overlapping the already-
     ingested corpus — re-crawled urls produce identical triples) is merged
@@ -1414,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_triangles": _q_kg_triangles,
+        "kg_communities": _q_kg_communities,
         "kg_incremental_triples": _q_kg_incremental,
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
@@ -1576,6 +1637,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_oracle_sql(),
         "kg_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
+        "kg_communities": """
+            WITH RECURSIVE t AS (
+                SELECT DISTINCT subj, obj
+                FROM read_parquet('/tmp/graft_kg/triples-sf0.01/*.parquet')),
+            e0 AS (
+                SELECT a.obj AS ia, b.obj AS ib, count(*) AS n
+                FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj
+                GROUP BY 1, 2),
+            ef AS (SELECT ia, ib FROM e0 WHERE n >= 2),
+            edges AS (SELECT ia AS u, ib AS v FROM ef
+                      UNION SELECT ib, ia FROM ef),
+            reach AS (
+                SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+            SELECT u AS iri, min(r) AS community FROM reach GROUP BY u
+        """,
         "kg_triangles": """
             WITH t AS (
                 SELECT DISTINCT subj, obj
