@@ -249,12 +249,10 @@ class TestDedup:
 
         tbl = _near_dup_corpus()
         got = near_dup_pairs_minhash(rd.from_arrow(tbl), threshold=0.7)
-        got_pairs = {
-            (a, b)
-            for a, b in zip(
-                got.to_pandas()["a"].tolist(), got.to_pandas()["b"].tolist()
-            )
-        }
+        # one materialization: separate to_pandas() calls re-execute the plan
+        # with unstable block order and would zip misaligned rows
+        got_df = got.to_pandas()
+        got_pairs = set(zip(got_df["a"].tolist(), got_df["b"].tolist()))
         truth = {(a, b) for a, b, _ in brute_force_jaccard_pairs(tbl, 0.7)}
         # precision exact (every returned pair verified), recall 1.0 for the
         # planted high-jaccard dups (LSH s-curve ~1 at s>=0.8 with 16x4)
