@@ -373,6 +373,58 @@ def _q_kg_communities(sf_dir: str):
     return cc.map_batches(back, batch_format="pyarrow")
 
 
+def _q_kg_bfs_hops(sf_dir: str):
+    """Entity neighborhood reach: distances from the lexicographically
+    smallest IRI over the symmetrized co-occurrence graph, exactly 4
+    min-plus relaxation rounds (fixed iterations ⇒ the SQL oracle unrolls
+    the same rounds; -1 marks nodes beyond 4 hops)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lmss_entity_extractor_ray.ops.graph import bfs_hops
+    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    triples = _triples_materialized(sf_dir)
+    out = f"/tmp/graft_kg/triples-{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    triples.select_columns(["subj", "obj"]).write_parquet(out)
+    edges = cooccurrence_edges(triples).materialize()
+    iris = sorted(set(edges.unique("iri_a")) | set(edges.unique("iri_b")))
+    if not iris:
+        return pa.table(
+            {"iri": pa.array([], pa.string()), "dist": pa.array([], pa.int64())}
+        )
+    import ray as _ray
+
+    vocab_ref = _ray.put(pa.array(iris, pa.string()))
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        an = np.asarray(pc.index_in(t.column("iri_a"), value_set=vocab), dtype=np.int64)
+        bn = np.asarray(pc.index_in(t.column("iri_b"), value_set=vocab), dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([an, bn]), pa.int64()),
+                "dst": pa.array(np.concatenate([bn, an]), pa.int64()),
+            }
+        )
+
+    # sorted vocab ⇒ id 0 IS the lexicographically smallest IRI
+    dists = bfs_hops(edges.map_batches(to_ids, batch_format="pyarrow"), [0], iters=4)
+
+    def back(t: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        return pa.table(
+            {"iri": vocab.take(t.column("node")), "dist": t.column("dist")}
+        )
+
+    return dists.map_batches(back, batch_format="pyarrow")
+
+
 def _q_kg_incremental(sf_dir: str):
     """Rolling-ingest KG merge: a new crawl shard (overlapping the already-
     ingested corpus — re-crawled urls produce identical triples) is merged
@@ -1453,6 +1505,46 @@ def _pagerank_oracle_sql(
     return head + "".join(steps) + tail
 
 
+def _bfs_oracle_sql(iters: int = 4) -> str:
+    """Unrolled min-plus BFS oracle (NULL = unreached, -1 in the output) —
+    the exact fixed-round relaxation of ops/graph.py:bfs_hops, seeded at
+    the lexicographically smallest IRI."""
+    head = """
+        WITH t AS (
+            SELECT DISTINCT subj, obj
+            FROM read_parquet('/tmp/graft_kg/triples-sf0.01/*.parquet')),
+        und AS (
+            SELECT DISTINCT a.obj AS ia, b.obj AS ib
+            FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj),
+        e AS (SELECT ia AS src, ib AS dst FROM und
+              UNION ALL SELECT ib AS src, ia AS dst FROM und),
+        nodes AS (SELECT DISTINCT src AS iri FROM e),
+        d0 AS (SELECT iri,
+                      CASE WHEN iri = (SELECT min(iri) FROM nodes)
+                           THEN 0 END AS d
+               FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+        d{i} AS (
+            SELECT n.iri,
+                   CASE WHEN p.d IS NULL THEN m.md
+                        WHEN m.md IS NULL THEN p.d
+                        ELSE LEAST(p.d, m.md) END AS d
+            FROM nodes n
+            JOIN d{i - 1} p ON p.iri = n.iri
+            LEFT JOIN (
+                SELECT e.dst AS iri, MIN(q.d + 1) AS md
+                FROM e JOIN d{i - 1} q ON e.src = q.iri
+                WHERE q.d IS NOT NULL
+                GROUP BY e.dst) m ON m.iri = n.iri)"""
+        )
+    tail = f"""
+        SELECT iri, CAST(COALESCE(d, -1) AS BIGINT) AS dist FROM d{iters}
+    """
+    return head + "".join(steps) + tail
+
+
 def _q_supplier_balance(sf_dir: str):
     from lmss_entity_extractor_ray.ops.relational import supplier_balance_by_nation
 
@@ -1475,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
+        "kg_bfs_hops": _q_kg_bfs_hops,
         "kg_incremental_triples": _q_kg_incremental,
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
@@ -1637,6 +1730,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_oracle_sql(),
         "kg_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
+        "kg_bfs_hops": _bfs_oracle_sql(),
         "kg_communities": """
             WITH RECURSIVE t AS (
                 SELECT DISTINCT subj, obj

@@ -408,3 +408,201 @@ def _col_dtype(ds: rd.Dataset, col: str):
         return ds.schema().base_schema.field(col).type
     except Exception:
         return pa.string()
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS distances
+# ---------------------------------------------------------------------------
+
+_DIST_SCHEMA = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+
+def _bfs_local_arrays(
+    src: np.ndarray, dst: np.ndarray, nodes: np.ndarray,
+    seeds: np.ndarray, iters: int,
+) -> np.ndarray:
+    """Reference relaxation: dist_{t+1}(v) = min(dist_t(v), min_{u->v}
+    dist_t(u) + 1), exactly ``iters`` rounds from dist_0 = 0 at seeds.
+    Unreached nodes keep sentinel -1 (mapped from +inf at the end)."""
+    n = len(nodes)
+    INF = np.int64(1 << 60)
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[np.searchsorted(nodes, seeds)] = 0
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    order = np.argsort(di, kind="stable")
+    si, di = si[order], di[order]
+    starts = np.concatenate(([0], np.nonzero(di[1:] != di[:-1])[0] + 1))
+    dst_nodes = di[starts]
+    for _ in range(iters):
+        cand = dist[si] + 1
+        if len(si):
+            m = np.minimum.reduceat(cand, starts)
+            np.minimum.at(dist, dst_nodes, m)
+    dist[dist >= INF] = -1
+    return dist
+
+
+@ray.remote
+def _bfs_local(
+    src_col: str, dst_col: str, seeds: np.ndarray, iters: int, *tables: pa.Table
+) -> pa.Table:
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return _DIST_SCHEMA.empty_table()
+    t = pa.concat_tables(live)
+    src = col_np(t, src_col)
+    dst = col_np(t, dst_col)
+    nodes = np.unique(np.concatenate([src, dst, seeds]))
+    dist = _bfs_local_arrays(src, dst, nodes, seeds, iters)
+    return pa.table(
+        {"node": pa.array(nodes, pa.int64()), "dist": pa.array(dist, pa.int64())}
+    )
+
+
+def bfs_hops(
+    edges_ds: rd.Dataset,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    num_partitions: Optional[int] = None,
+    small_graph_limit: int = 5_000_000,
+) -> rd.Dataset:
+    """(node, dist) after exactly ``iters`` rounds of min-plus relaxation
+    from ``seeds`` (directed edges; symmetrize for undirected reach).
+    dist = -1 marks nodes not reached within ``iters`` hops — a FIXED
+    iteration count, so the result is closed-form reproducible (the SQL
+    oracle unrolls the same rounds) even when the frontier hasn't
+    converged.
+
+    Small edge lists run as one numpy task; larger graphs reuse the
+    PageRank BSP partitioning with a min-fold instead of a sum — messages
+    per round are bounded by distinct destinations per partition, and the
+    driver routes only refs.
+    """
+    seeds = np.asarray(list(seeds), dtype=np.int64)
+    blocks = edges_ds.select_columns([src, dst]).to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array(seeds, pa.int64()),
+                 "dist": pa.array(np.zeros(len(seeds), np.int64), pa.int64())}
+            )
+        )
+    total = sum(ray.get([_nrows.remote(t) for t in blocks]))
+    if total <= small_graph_limit:
+        return rd.from_arrow_refs(
+            [_bfs_local.remote(src, dst, seeds, iters, *blocks)]
+        )
+    # BSP path: reuse the CC scatter (src-hash partitioning); per round the
+    # message is min(dist)+1 per destination, folded like _cc_update but
+    # carrying dist instead of labels.
+    from .pagerank import _pr_node_scatter, _pr_scatter
+
+    P = max(2, num_partitions or shuffle_partitions(edges_ds))
+    edge_shards = [
+        _pr_scatter.options(num_returns=P).remote(blk, src, dst, None, P)
+        for blk in blocks
+    ]
+    node_shards = [
+        _pr_node_scatter.options(num_returns=P).remote(blk, src, dst, P)
+        for blk in blocks
+    ]
+    seed_ref = ray.put(seeds)
+    edges = []
+    dists = []
+    for p in range(P):
+        e = _bfs_build_edges.remote(*[s[p] for s in edge_shards])
+        d = _bfs_build_dists.remote(seed_ref, P, p, *[s[p] for s in node_shards])
+        edges.append(e)
+        dists.append(d)
+    for _ in range(iters):
+        msg_lists = [
+            _bfs_messages.options(num_returns=P).remote(edges[p], dists[p], P)
+            for p in range(P)
+        ]
+        dists = [
+            _bfs_update.remote(dists[p], *[ml[p] for ml in msg_lists])
+            for p in range(P)
+        ]
+    return rd.from_arrow_refs([_bfs_finish.remote(d) for d in dists])
+
+
+_BFS_INF = 1 << 60
+
+
+_BFS_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+
+@ray.remote
+def _bfs_build_edges(*shards: pa.Table) -> pa.Table:
+    t = pa.concat_tables(
+        [s for s in shards if s.num_rows] or [_BFS_EDGE_SCHEMA.empty_table()]
+    )
+    if t.num_rows == 0:
+        return _BFS_EDGE_SCHEMA.empty_table()
+    src = col_np(t, "src")
+    dst = col_np(t, "dst")
+    order = np.argsort(dst, kind="stable")
+    return pa.table(
+        {"src": pa.array(src[order], pa.int64()), "dst": pa.array(dst[order], pa.int64())}
+    )
+
+
+@ray.remote
+def _bfs_build_dists(seeds: np.ndarray, P: int, p: int, *shards: pa.Table) -> pa.Table:
+    one = pa.schema([("node", pa.int64())])
+    t = pa.concat_tables([s for s in shards if s.num_rows] or [one.empty_table()])
+    nodes = np.unique(col_np(t, "node")) if t.num_rows else np.zeros(0, np.int64)
+    # seeds belonging to this partition by the shared hash
+    mine = seeds[np.asarray(_part_of(seeds, P)) == p]
+    nodes = np.unique(np.concatenate([nodes, mine]))
+    dist = np.full(len(nodes), _BFS_INF, dtype=np.int64)
+    dist[np.searchsorted(nodes, mine)] = 0
+    return pa.table(
+        {"node": pa.array(nodes, pa.int64()), "dist": pa.array(dist, pa.int64())}
+    )
+
+
+@ray.remote
+def _bfs_messages(edges: pa.Table, dists: pa.Table, P: int) -> List[pa.Table]:
+    if edges.num_rows == 0:
+        return [_MSG_SCHEMA.empty_table()] * P
+    src = col_np(edges, "src")
+    dst = col_np(edges, "dst")
+    nodes = col_np(dists, "node")
+    d = col_np(dists, "dist")
+    cand = d[np.searchsorted(nodes, src)] + 1
+    starts = np.concatenate(([0], np.nonzero(dst[1:] != dst[:-1])[0] + 1))
+    dn = dst[starts]
+    m = np.minimum.reduceat(cand, starts)
+    live = m < _BFS_INF
+    dn, m = dn[live], m[live]
+    msgs = pa.table({"v": pa.array(dn, pa.int64()), "m": pa.array(m, pa.int64())})
+    return _split_by_part(msgs, _part_of(dn, P), P)
+
+
+@ray.remote
+def _bfs_update(dists: pa.Table, *msgs: pa.Table) -> pa.Table:
+    live = [t for t in msgs if t.num_rows]
+    if dists.num_rows == 0 or not live:
+        return dists
+    t = pa.concat_tables(live)
+    v = col_np(t, "v")
+    m = col_np(t, "m")
+    order = np.lexsort((m, v))
+    v, m = v[order], m[order]
+    starts = np.concatenate(([0], np.nonzero(v[1:] != v[:-1])[0] + 1))
+    nodes = col_np(dists, "node")
+    d = col_np(dists, "dist").copy()
+    idx = np.searchsorted(nodes, v[starts])
+    d[idx] = np.minimum(d[idx], m[starts])
+    return pa.table({"node": dists.column("node"), "dist": pa.array(d, pa.int64())})
+
+
+@ray.remote
+def _bfs_finish(dists: pa.Table) -> pa.Table:
+    d = col_np(dists, "dist").copy()
+    d[d >= _BFS_INF] = -1
+    return pa.table({"node": dists.column("node"), "dist": pa.array(d, pa.int64())})

@@ -259,11 +259,9 @@ def _pr_update(
         order = np.argsort(v, kind="stable")
         v, m = v[order], m[order]
         starts = np.concatenate(([0], np.nonzero(v[1:] != v[:-1])[0] + 1))
-        ends = np.concatenate((starts[1:], [len(v)]))
         sums = np.add.reduceat(m, starts)
         idx = np.searchsorted(nodes, v[starts])
         msum[idx] = sums
-        del ends
     base = (d_den - d_num) * scale // (d_den * n_total)
     r = base + d_num * msum // d_den
     return pa.table(

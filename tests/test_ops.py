@@ -1053,6 +1053,72 @@ class TestGraph:
         assert dropped == [2, 3, 4, 11, 12, 21, 22, 23, 31]
 
 
+class TestBfsHops:
+    def test_vs_bruteforce_and_bsp_parity(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import bfs_hops
+
+        rng = np.random.RandomState(17)
+        src = rng.randint(0, 120, 400).astype("int64")
+        dst = rng.randint(0, 120, 400).astype("int64")
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        # symmetrize for undirected reach
+        s2 = np.concatenate([src, dst])
+        d2 = np.concatenate([dst, src])
+        seeds = [int(min(s2.min(), d2.min()))]
+        K = 3
+
+        def make():
+            return rd.from_arrow(
+                pa.table({"src": pa.array(s2), "dst": pa.array(d2)})
+            ).repartition(5)
+
+        got = bfs_hops(make(), seeds, iters=K).to_pandas()
+        gmap = dict(zip(got["node"], got["dist"]))
+        # brute force: K rounds of relaxation
+        nodes = np.unique(np.concatenate([s2, d2]))
+        dist = {int(v): -1 for v in nodes}
+        dist[seeds[0]] = 0
+        adj = collections.defaultdict(list)
+        for a, b in zip(s2.tolist(), d2.tolist()):
+            adj[a].append(b)
+        for _ in range(K):
+            nxt = dict(dist)
+            for u, du in dist.items():
+                if du >= 0:
+                    for v in adj[u]:
+                        if nxt[v] < 0 or du + 1 < nxt[v]:
+                            nxt[v] = du + 1
+            dist = nxt
+        assert gmap == dist
+        # BSP path must agree exactly
+        bsp = bfs_hops(
+            make(), seeds, iters=K, num_partitions=4, small_graph_limit=0
+        ).to_pandas()
+        assert dict(zip(bsp["node"], bsp["dist"])) == gmap
+
+    def test_chain_cutoff(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import bfs_hops
+
+        # directed chain 0->1->2->3->4->5, 3 iterations from 0
+        e = rd.from_arrow(
+            pa.table(
+                {"src": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                 "dst": pa.array([1, 2, 3, 4, 5], pa.int64())}
+            )
+        )
+        got = bfs_hops(e, [0], iters=3).to_pandas()
+        assert dict(zip(got["node"], got["dist"])) == {
+            0: 0, 1: 1, 2: 2, 3: 3, 4: -1, 5: -1
+        }
+
+
 class TestTriangles:
     def test_vs_bruteforce(self, ray_session):
         import itertools
