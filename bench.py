@@ -772,6 +772,13 @@ def run_smoke_graph(n_edges: int = 20_000_000) -> dict:
     timings["connected_components_bsp"] = round(time.perf_counter() - t0, 2)
     info["cc_rows"] = cc.count()
 
+    from lmss_entity_extractor_ray.ops.graph import bfs_hops
+
+    t0 = time.perf_counter()
+    bfs = bfs_hops(e, [0], iters=4, small_graph_limit=0).materialize()
+    timings["bfs_hops_bsp_4it"] = round(time.perf_counter() - t0, 2)
+    info["bfs_reached"] = bfs.filter(expr="dist >= 0").count()
+
     return {
         "metric": "smoke_graph_total_sec",
         "value": round(sum(timings.values()), 2),
