@@ -173,6 +173,99 @@ def _q_kg_cooccurrence(sf_dir: str):
     return cooccurrence_edges(triples)
 
 
+def _write_oracle_triples(sf_dir: str):
+    """Write the (subj, obj) triples parquet to the fixed per-sf path the
+    dual-read oracles read, and return the materialized triples Dataset.
+    Each KG graph query calls this itself so it stays self-contained under
+    any driver execution order (the write is idempotent — same content)."""
+    import shutil
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    triples = _triples_materialized(sf_dir)
+    out = f"/tmp/graft_kg/triples-{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    triples.select_columns(["subj", "obj"]).write_parquet(out)
+    return triples
+
+
+def _cooc_id_graph(sf_dir: str, weighted: bool = False, min_docs: int = 1):
+    """Shared setup for the KG graph-analytics queries: co-occurrence edges
+    over the oracle-visible triples, IRIs mapped to SORTED dense int ids.
+
+    The IRI vocabulary is ontology-bounded (~10^4 classes at LMSS scale),
+    so a driver-side sorted vocab + broadcast is the scale-correct id map —
+    it never grows with the corpus; sorted order makes id order equal
+    lexicographic IRI order, which the min-based oracles rely on.
+
+    Returns (symmetrized (src, dst[, w]) id-edge Dataset, vocab_ref), or
+    (None, None) when the graph is empty."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+    triples = _write_oracle_triples(sf_dir)
+    edges = cooccurrence_edges(triples)
+    if min_docs > 1:
+        edges = edges.filter(expr=f"n_docs >= {min_docs}")
+    edges = edges.materialize()
+    iris = sorted(set(edges.unique("iri_a")) | set(edges.unique("iri_b")))
+    if not iris:
+        return None, None
+    vocab_ref = _ray.put(pa.array(iris, pa.string()))
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        an = np.asarray(pc.index_in(t.column("iri_a"), value_set=vocab), dtype=np.int64)
+        bn = np.asarray(pc.index_in(t.column("iri_b"), value_set=vocab), dtype=np.int64)
+        cols = {
+            "src": pa.array(np.concatenate([an, bn]), pa.int64()),
+            "dst": pa.array(np.concatenate([bn, an]), pa.int64()),
+        }
+        if weighted:
+            w = np.asarray(t.column("n_docs"), dtype=np.int64)
+            cols["w"] = pa.array(np.concatenate([w, w]), pa.int64())
+        return pa.table(cols)
+
+    return edges.map_batches(to_ids, batch_format="pyarrow"), vocab_ref
+
+
+def _ids_to_iris(ds, vocab_ref, node_col: str, out_cols: dict):
+    """Map int node ids back to IRIs: ``out_cols`` maps output column name →
+    source column (the node column and any id-valued column go through the
+    vocab; others pass through)."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    id_cols = {node_col} | {c for c in out_cols.values() if c.endswith("_id")}
+
+    def back(t: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        return pa.table(
+            {
+                out: (vocab.take(t.column(srcc)) if srcc in id_cols else t.column(srcc))
+                for out, srcc in out_cols.items()
+            }
+        )
+
+    return ds.map_batches(back, batch_format="pyarrow")
+
+
+def _empty_iri_table(value_name: str, value_type=None):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "iri": pa.array([], pa.string()),
+            value_name: pa.array([], value_type or pa.int64()),
+        }
+    )
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Entity centrality over the constructed KG: integer-quantized PageRank
     (5 fixed iterations, scale 10^12, d=85/100) on the symmetrized
@@ -180,116 +273,27 @@ def _q_kg_pagerank(sf_dir: str):
     the same fixed parquet path as kg_cooccurrence_edges; DuckDB rebuilds
     the edge list and unrolls the identical integer recurrence — bit-exact
     because every step is int64 floor arithmetic on both sides."""
-    import shutil
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from lmss_entity_extractor_ray.ops.pagerank import pagerank
-    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
 
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    triples = _triples_materialized(sf_dir)
-    out = f"/tmp/graft_kg/triples-{sf_name}"
-    shutil.rmtree(out, ignore_errors=True)
-    triples.select_columns(["subj", "obj"]).write_parquet(out)
-    edges = cooccurrence_edges(triples).materialize()
-    # IRI vocabulary is ontology-bounded (~10^4 classes at LMSS scale), so a
-    # driver-side sorted vocab + broadcast is the scale-correct id map — it
-    # never grows with the corpus.
-    iris = sorted(set(edges.unique("iri_a")) | set(edges.unique("iri_b")))
-    if not iris:
-        return pa.table(
-            {"iri": pa.array([], pa.string()), "rank_q": pa.array([], pa.int64())}
-        )
-    import ray as _ray
-
-    vocab_ref = _ray.put(pa.array(iris, pa.string()))
-
-    def to_ids(t: pa.Table) -> pa.Table:
-        vocab = _ray.get(vocab_ref)
-        a = pc.index_in(t.column("iri_a"), value_set=vocab)
-        b = pc.index_in(t.column("iri_b"), value_set=vocab)
-        an = np.asarray(a, dtype=np.int64)
-        bn = np.asarray(b, dtype=np.int64)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([an, bn]), pa.int64()),
-                "dst": pa.array(np.concatenate([bn, an]), pa.int64()),
-            }
-        )
-
-    ranks = pagerank(
-        edges.map_batches(to_ids, batch_format="pyarrow"), iters=5
-    )
-
-    def back(t: pa.Table) -> pa.Table:
-        vocab = _ray.get(vocab_ref)
-        return pa.table(
-            {
-                "iri": vocab.take(t.column("node")),
-                "rank_q": t.column("rank_q"),
-            }
-        )
-
-    return ranks.map_batches(back, batch_format="pyarrow")
+    ids, vocab_ref = _cooc_id_graph(sf_dir)
+    if ids is None:
+        return _empty_iri_table("rank_q")
+    ranks = pagerank(ids, iters=5)
+    return _ids_to_iris(ranks, vocab_ref, "node", {"iri": "node", "rank_q": "rank_q"})
 
 
 def _q_kg_pagerank_weighted(sf_dir: str):
     """Weighted centrality: same integer recurrence, but each co-occurrence
     edge contributes proportionally to its document count — the natural
     'which entities anchor the graph' ranking.  Same dual-read oracle
-    pattern as kg_pagerank (the triples parquet is re-written here so the
-    query is self-contained regardless of driver execution order)."""
-    import shutil
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
+    pattern as kg_pagerank."""
     from lmss_entity_extractor_ray.ops.pagerank import pagerank
-    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
 
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    triples = _triples_materialized(sf_dir)
-    out = f"/tmp/graft_kg/triples-{sf_name}"
-    shutil.rmtree(out, ignore_errors=True)
-    triples.select_columns(["subj", "obj"]).write_parquet(out)
-    edges = cooccurrence_edges(triples).materialize()
-    iris = sorted(set(edges.unique("iri_a")) | set(edges.unique("iri_b")))
-    if not iris:
-        return pa.table(
-            {"iri": pa.array([], pa.string()), "rank_q": pa.array([], pa.int64())}
-        )
-    import ray as _ray
-
-    vocab_ref = _ray.put(pa.array(iris, pa.string()))
-
-    def to_ids(t: pa.Table) -> pa.Table:
-        vocab = _ray.get(vocab_ref)
-        an = np.asarray(pc.index_in(t.column("iri_a"), value_set=vocab), dtype=np.int64)
-        bn = np.asarray(pc.index_in(t.column("iri_b"), value_set=vocab), dtype=np.int64)
-        w = np.asarray(t.column("n_docs"), dtype=np.int64)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([an, bn]), pa.int64()),
-                "dst": pa.array(np.concatenate([bn, an]), pa.int64()),
-                "w": pa.array(np.concatenate([w, w]), pa.int64()),
-            }
-        )
-
-    ranks = pagerank(
-        edges.map_batches(to_ids, batch_format="pyarrow"), weight="w", iters=5
-    )
-
-    def back(t: pa.Table) -> pa.Table:
-        vocab = _ray.get(vocab_ref)
-        return pa.table(
-            {"iri": vocab.take(t.column("node")), "rank_q": t.column("rank_q")}
-        )
-
-    return ranks.map_batches(back, batch_format="pyarrow")
+    ids, vocab_ref = _cooc_id_graph(sf_dir, weighted=True)
+    if ids is None:
+        return _empty_iri_table("rank_q")
+    ranks = pagerank(ids, weight="w", iters=5)
+    return _ids_to_iris(ranks, vocab_ref, "node", {"iri": "node", "rank_q": "rank_q"})
 
 
 def _q_kg_triangles(sf_dir: str):
@@ -299,16 +303,10 @@ def _q_kg_triangles(sf_dir: str):
     corner counts pre-combine per block before the bounded coordinator
     fold.  Dual-read oracle: 3-way SQL self-join over the same written
     triples parquet."""
-    import shutil
-
     from lmss_entity_extractor_ray.ops.graph import triangle_counts
     from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
 
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    triples = _triples_materialized(sf_dir)
-    out = f"/tmp/graft_kg/triples-{sf_name}"
-    shutil.rmtree(out, ignore_errors=True)
-    triples.select_columns(["subj", "obj"]).write_parquet(out)
+    triples = _write_oracle_triples(sf_dir)
     edges = cooccurrence_edges(triples).select_columns(["iri_a", "iri_b"])
     return triangle_counts(edges, a="iri_a", b="iri_b", node_name="iri")
 
@@ -318,59 +316,20 @@ def _q_kg_communities(sf_dir: str):
     graph thresholded at n_docs >= 2 (single co-mentions are noise edges).
     IRIs map to SORTED dense ids, so the component minimum in id space is
     the lexicographic minimum IRI — exactly what the recursive-CTE oracle
-    computes with min() over strings."""
-    import shutil
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
+    computes with min() over strings.  (CC symmetrizes internally, so the
+    already-symmetrized helper edges just mean each undirected edge enters
+    twice — harmless for a min fold.)"""
     from lmss_entity_extractor_ray.ops.graph import connected_components
-    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
 
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    triples = _triples_materialized(sf_dir)
-    out = f"/tmp/graft_kg/triples-{sf_name}"
-    shutil.rmtree(out, ignore_errors=True)
-    triples.select_columns(["subj", "obj"]).write_parquet(out)
-    edges = (
-        cooccurrence_edges(triples)
-        .filter(expr="n_docs >= 2")
-        .select_columns(["iri_a", "iri_b"])
-        .materialize()
+    ids, vocab_ref = _cooc_id_graph(sf_dir, min_docs=2)
+    if ids is None:
+        import pyarrow as pa
+
+        return _empty_iri_table("community", pa.string())
+    cc = connected_components(ids, a="src", b="dst", node_name="node")
+    return _ids_to_iris(
+        cc, vocab_ref, "node", {"iri": "node", "community": "cluster_id"}
     )
-    iris = sorted(set(edges.unique("iri_a")) | set(edges.unique("iri_b")))
-    if not iris:
-        return pa.table(
-            {"iri": pa.array([], pa.string()), "community": pa.array([], pa.string())}
-        )
-    import ray as _ray
-
-    vocab_ref = _ray.put(pa.array(iris, pa.string()))
-
-    def to_ids(t: pa.Table) -> pa.Table:
-        vocab = _ray.get(vocab_ref)
-        return pa.table(
-            {
-                "a": pc.index_in(t.column("iri_a"), value_set=vocab).cast(pa.int64()),
-                "b": pc.index_in(t.column("iri_b"), value_set=vocab).cast(pa.int64()),
-            }
-        )
-
-    cc = connected_components(
-        edges.map_batches(to_ids, batch_format="pyarrow"), node_name="node"
-    )
-
-    def back(t: pa.Table) -> pa.Table:
-        vocab = _ray.get(vocab_ref)
-        return pa.table(
-            {
-                "iri": vocab.take(t.column("node")),
-                "community": vocab.take(t.column("cluster_id")),
-            }
-        )
-
-    return cc.map_batches(back, batch_format="pyarrow")
 
 
 def _q_kg_bfs_hops(sf_dir: str):
@@ -378,51 +337,14 @@ def _q_kg_bfs_hops(sf_dir: str):
     smallest IRI over the symmetrized co-occurrence graph, exactly 4
     min-plus relaxation rounds (fixed iterations ⇒ the SQL oracle unrolls
     the same rounds; -1 marks nodes beyond 4 hops)."""
-    import shutil
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from lmss_entity_extractor_ray.ops.graph import bfs_hops
-    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
 
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    triples = _triples_materialized(sf_dir)
-    out = f"/tmp/graft_kg/triples-{sf_name}"
-    shutil.rmtree(out, ignore_errors=True)
-    triples.select_columns(["subj", "obj"]).write_parquet(out)
-    edges = cooccurrence_edges(triples).materialize()
-    iris = sorted(set(edges.unique("iri_a")) | set(edges.unique("iri_b")))
-    if not iris:
-        return pa.table(
-            {"iri": pa.array([], pa.string()), "dist": pa.array([], pa.int64())}
-        )
-    import ray as _ray
-
-    vocab_ref = _ray.put(pa.array(iris, pa.string()))
-
-    def to_ids(t: pa.Table) -> pa.Table:
-        vocab = _ray.get(vocab_ref)
-        an = np.asarray(pc.index_in(t.column("iri_a"), value_set=vocab), dtype=np.int64)
-        bn = np.asarray(pc.index_in(t.column("iri_b"), value_set=vocab), dtype=np.int64)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([an, bn]), pa.int64()),
-                "dst": pa.array(np.concatenate([bn, an]), pa.int64()),
-            }
-        )
-
+    ids, vocab_ref = _cooc_id_graph(sf_dir)
+    if ids is None:
+        return _empty_iri_table("dist")
     # sorted vocab ⇒ id 0 IS the lexicographically smallest IRI
-    dists = bfs_hops(edges.map_batches(to_ids, batch_format="pyarrow"), [0], iters=4)
-
-    def back(t: pa.Table) -> pa.Table:
-        vocab = _ray.get(vocab_ref)
-        return pa.table(
-            {"iri": vocab.take(t.column("node")), "dist": t.column("dist")}
-        )
-
-    return dists.map_batches(back, batch_format="pyarrow")
+    dists = bfs_hops(ids, [0], iters=4)
+    return _ids_to_iris(dists, vocab_ref, "node", {"iri": "node", "dist": "dist"})
 
 
 def _q_kg_incremental(sf_dir: str):
