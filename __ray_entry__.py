@@ -347,6 +347,44 @@ def _q_kg_bfs_hops(sf_dir: str):
     return _ids_to_iris(dists, vocab_ref, "node", {"iri": "node", "dist": "dist"})
 
 
+def _q_kg_degree_histogram(sf_dir: str):
+    """Degree distribution of the co-occurrence KG: (degree, n_nodes) —
+    the first sanity chart a graph consumer draws (hub detection, skew
+    sizing for the analytics above).  Per-block partial degree counts
+    pre-combine before the bounded coordinator fold (degree cardinality
+    <= max degree, tiny)."""
+    import pyarrow as pa
+
+    from lmss_entity_extractor_ray.ops.combine import combine_partials
+    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+    triples = _write_oracle_triples(sf_dir)
+    edges = cooccurrence_edges(triples)
+
+    def corner_partial(t: pa.Table) -> pa.Table:
+        allc = pa.chunked_array(
+            [t.column("iri_a").combine_chunks(), t.column("iri_b").combine_chunks()]
+        )
+        g = pa.table({"iri": allc}).group_by(["iri"]).aggregate([([], "count_all")])
+        return g.rename_columns(["iri", "p_n"])
+
+    # two-level fold: per-node degree first (node cardinality is
+    # ontology-bounded), then the degree histogram
+    deg = combine_partials(
+        edges.map_batches(corner_partial, batch_format="pyarrow"),
+        ["iri"],
+        [("p_n", "sum", "degree")],
+        schema=pa.schema([("iri", pa.string()), ("p_n", pa.int64())]),
+    )
+    hist = (
+        deg.select(["degree"])
+        .group_by(["degree"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["degree", "n_nodes"])
+    )
+    return hist
+
+
 def _q_kg_incremental(sf_dir: str):
     """Rolling-ingest KG merge: a new crawl shard (overlapping the already-
     ingested corpus — re-crawled urls produce identical triples) is merged
@@ -1490,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
         "kg_bfs_hops": _q_kg_bfs_hops,
+        "kg_degree_histogram": _q_kg_degree_histogram,
         "kg_incremental_triples": _q_kg_incremental,
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
@@ -1653,6 +1692,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_oracle_sql(),
         "kg_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
         "kg_bfs_hops": _bfs_oracle_sql(),
+        "kg_degree_histogram": """
+            WITH t AS (
+                SELECT DISTINCT subj, obj
+                FROM read_parquet('/tmp/graft_kg/triples-sf0.01/*.parquet')),
+            und AS (
+                SELECT DISTINCT a.obj AS ia, b.obj AS ib
+                FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj),
+            c AS (SELECT ia AS iri FROM und UNION ALL SELECT ib FROM und),
+            deg AS (SELECT iri, count(*) AS degree FROM c GROUP BY iri)
+            SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        """,
         "kg_communities": """
             WITH RECURSIVE t AS (
                 SELECT DISTINCT subj, obj
