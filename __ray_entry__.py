@@ -347,6 +347,20 @@ def _q_kg_bfs_hops(sf_dir: str):
     return _ids_to_iris(dists, vocab_ref, "node", {"iri": "node", "dist": "dist"})
 
 
+def _q_kg_link_prediction(sf_dir: str):
+    """Common-neighbor link-prediction candidates over the co-occurrence
+    KG: entity pairs sharing >= 2 neighbors with the integer-quantized
+    neighborhood Jaccard — 'these two entities are probably related even
+    if never co-mentioned'.  Wedge exchange + pair-key exchange; degrees
+    fold through the bounded coordinator combine."""
+    from lmss_entity_extractor_ray.ops.graph import common_neighbor_scores
+    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+    triples = _write_oracle_triples(sf_dir)
+    edges = cooccurrence_edges(triples).select_columns(["iri_a", "iri_b"])
+    return common_neighbor_scores(edges, a="iri_a", b="iri_b", min_common=2)
+
+
 def _q_kg_degree_histogram(sf_dir: str):
     """Degree distribution of the co-occurrence KG: (degree, n_nodes) —
     the first sanity chart a graph consumer draws (hub detection, skew
@@ -1529,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _q_kg_communities,
         "kg_bfs_hops": _q_kg_bfs_hops,
         "kg_degree_histogram": _q_kg_degree_histogram,
+        "kg_link_prediction": _q_kg_link_prediction,
         "kg_incremental_triples": _q_kg_incremental,
         "ontology_search": _q_ontology_search,
         # document-format dispatch + quarantine (reference upload seam)
@@ -1692,6 +1707,27 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_oracle_sql(),
         "kg_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
         "kg_bfs_hops": _bfs_oracle_sql(),
+        "kg_link_prediction": """
+            WITH t AS (
+                SELECT DISTINCT subj, obj
+                FROM read_parquet('/tmp/graft_kg/triples-sf0.01/*.parquet')),
+            und AS (
+                SELECT DISTINCT a.obj AS ia, b.obj AS ib
+                FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj),
+            e AS (SELECT ia AS src, ib AS dst FROM und
+                  UNION ALL SELECT ib AS src, ia AS dst FROM und),
+            deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+            w AS (
+                SELECT e1.dst AS u, e2.dst AS v, count(*) AS common
+                FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                GROUP BY 1, 2),
+            f AS (SELECT u, v, common FROM w WHERE common >= 2)
+            SELECT f.u, f.v, f.common,
+                   CAST(f.common * 100000 // (du.d + dv.d - f.common)
+                        AS BIGINT) AS jaccard_e5
+            FROM f JOIN deg du ON du.src = f.u
+                   JOIN deg dv ON dv.src = f.v
+        """,
         "kg_degree_histogram": """
             WITH t AS (
                 SELECT DISTINCT subj, obj

@@ -232,6 +232,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "kg_communities",
         "kg_bfs_hops",
         "kg_degree_histogram",
+        "kg_link_prediction",
         "kg_incremental_triples",
     ):
         timed(name, lambda n=name: _consume_any(qs[n](sf_dir)))

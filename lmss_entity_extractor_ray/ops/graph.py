@@ -606,3 +606,134 @@ def _bfs_finish(dists: pa.Table) -> pa.Table:
     d = col_np(dists, "dist").copy()
     d[d >= _BFS_INF] = -1
     return pa.table({"node": dists.column("node"), "dist": pa.array(d, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# common-neighbor link prediction
+# ---------------------------------------------------------------------------
+
+def _pair_partition(col1, col2, P: int) -> np.ndarray:
+    """Deterministic partition id for a two-column key (string or int)."""
+    if pa.types.is_integer(col1.type if hasattr(col1, "type") else col1.chunk(0).type):
+        import numpy as _np
+
+        a = np.asarray(col1, dtype=np.uint64)
+        b = np.asarray(col2, dtype=np.uint64)
+        with _np.errstate(over="ignore"):
+            return (((a * _GOLD) ^ (b * _GOLD)) % np.uint64(P)).astype(np.int32)
+    from .partitioning import string_hash64
+
+    return (
+        (string_hash64(col1) ^ string_hash64(col2)) % np.uint64(P)
+    ).astype(np.int32)
+
+
+def common_neighbor_scores(
+    edges_ds: rd.Dataset,
+    a: str = "a",
+    b: str = "b",
+    min_common: int = 2,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Link-prediction candidates over a DISTINCT oriented edge list:
+    (u, v, common, jaccard_e5) for every non-adjacent-or-adjacent pair
+    sharing >= ``min_common`` neighbors, with the neighborhood Jaccard
+    |N(u)∩N(v)| / |N(u)∪N(v)| quantized to 1e-5 by integer floor division
+    (both sides of the oracle compute the identical int64 expression).
+
+    Shape: symmetrize → wedge self-join on the shared neighbor (the same
+    exchange as triangle_counts) → per-block pair pre-count → ONE pair-key
+    exchange → per-partition sum + threshold; degrees fold through the
+    bounded coordinator combine and broadcast into the scoring stage.
+    Wedge volume is sum(deg²) over shared neighbors — degree-cap hubs
+    upstream on hub-heavy graphs (same knob as triangle_counts); the
+    coordinator degree fold assumes node cardinality is bounded (true for
+    an ontology KG) — swap it for a hash_join on degrees beyond that.
+    """
+    from .combine import combine_partials
+    from .join import hash_join
+    from .partitioning import shuffle_partitions as _sp
+
+    P = max(2, num_partitions or _sp(edges_ds))
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": t.column(a), "dst": t.column(b)})
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t.column(a).combine_chunks(), t.column(b).combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t.column(b).combine_chunks(), t.column(a).combine_chunks()]
+                ),
+            }
+        )
+
+    sym = edges_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    # degrees over the symmetrized list = true degree per node
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "p_n"])
+
+    key_type = sym.schema().base_schema.field("src").type
+    deg_tbl = combine_partials(
+        sym.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"],
+        [("p_n", "sum", "d")],
+        schema=pa.schema([("node", key_type), ("p_n", pa.int64())]),
+    )
+    deg_sorted = deg_tbl.sort_by([("node", "ascending")])
+    deg_nodes = np.asarray(deg_sorted.column("node"))
+    deg_vals = np.asarray(deg_sorted.column("d"), dtype=np.int64)
+    deg_ref = ray.put((deg_nodes, deg_vals))
+
+    wedges = hash_join(sym, sym, on="src", how="inner", right_suffix="_r")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {"u": pa.array([], key_type), "v": pa.array([], key_type),
+             "p_n": pa.array([], pa.int64()),
+             "part": pa.array([], pa.int32())}
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.filter(pc.less(t.column("dst"), t.column("dst_r")))
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["dst", "dst_r"]).aggregate([([], "count_all")])
+        part = _pair_partition(
+            g.column("dst").combine_chunks(), g.column("dst_r").combine_chunks(), P
+        )
+        return g.rename_columns(["u", "v", "p_n"]).append_column(
+            "part", pa.array(part, pa.int32())
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.group_by(["u", "v"]).aggregate([("p_n", "sum")])
+        g = g.rename_columns(["u", "v", "common"])
+        common = np.asarray(g.column("common"), dtype=np.int64)
+        keep = common >= min_common
+        g = g.filter(pa.array(keep))
+        common = common[keep]
+        nodes, degs = ray.get(deg_ref)
+        du = degs[np.searchsorted(nodes, np.asarray(g.column("u")))]
+        dv = degs[np.searchsorted(nodes, np.asarray(g.column("v")))]
+        jac = common * 100000 // (du + dv - common)
+        return pa.table(
+            {
+                "u": g.column("u"),
+                "v": g.column("v"),
+                "common": pa.array(common, pa.int64()),
+                "jaccard_e5": pa.array(jac, pa.int64()),
+            }
+        )
+
+    return (
+        wedges.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )

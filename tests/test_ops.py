@@ -1151,6 +1151,45 @@ class TestTriangles:
         got = triangle_counts(ds).to_pandas()
         assert dict(zip(got["node"], got["n_triangles"])) == exp
 
+    def test_common_neighbor_scores_vs_bruteforce(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import common_neighbor_scores
+
+        rng = np.random.RandomState(31)
+        n_nodes = 30
+        cand = [(i, j) for i in range(n_nodes) for j in range(i + 1, n_nodes)]
+        pick = rng.rand(len(cand)) < 0.25
+        edges = [e for e, p in zip(cand, pick) if p]
+        adj = {v: set() for v in range(n_nodes)}
+        for x, y in edges:
+            adj[x].add(y)
+            adj[y].add(x)
+        exp = {}
+        for u, v in itertools.combinations(range(n_nodes), 2):
+            common = len(adj[u] & adj[v])
+            if common >= 2:
+                exp[(u, v)] = (
+                    common,
+                    common * 100000 // (len(adj[u]) + len(adj[v]) - common),
+                )
+        ds = rd.from_arrow(
+            pa.table(
+                {"a": pa.array([e[0] for e in edges], pa.int64()),
+                 "b": pa.array([e[1] for e in edges], pa.int64())}
+            )
+        ).repartition(4)
+        got = common_neighbor_scores(ds, num_partitions=3).to_pandas()
+        got_map = {
+            (u, v): (c, j)
+            for u, v, c, j in zip(
+                got["u"], got["v"], got["common"], got["jaccard_e5"]
+            )
+        }
+        assert got_map == exp
+
     def test_string_keys_and_no_triangles(self, ray_session):
         import ray.data as rd
 
