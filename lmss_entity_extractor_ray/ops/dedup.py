@@ -906,6 +906,7 @@ def near_dup_pairs_minhash(
     num_partitions: Optional[int] = None,
     max_shingle_freq=None,
     broadcast_pairs_limit: int = 5_000_000,
+    write_candidates_to: Optional[str] = None,
 ) -> rd.Dataset:
     """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard —
     fully distributed, end to end:
@@ -965,6 +966,27 @@ def near_dup_pairs_minhash(
         docs_ds, num_perm, bands, shingle_k, hot_ref=hot_ref
     ).select_columns(["a", "b"]).materialize()
     n_pairs = cands.count()  # materialized → metadata only
+    if write_candidates_to:
+        # value-oracle seam (driver SFs only): persist the LSH candidate
+        # pair set so an external SQL engine can recompute the exact
+        # shingle Jaccard over EXACTLY these pairs and re-apply the
+        # threshold — verifying banding + verification end to end without
+        # having to model LSH recall in SQL
+        import os as _os
+        import shutil
+
+        shutil.rmtree(write_candidates_to, ignore_errors=True)
+        if n_pairs:
+            cands.write_parquet(write_candidates_to)
+        else:  # keep the oracle's read_parquet glob valid
+            _os.makedirs(write_candidates_to, exist_ok=True)
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())}),
+                _os.path.join(write_candidates_to, "empty.parquet"),
+            )
     if n_pairs == 0:
         return rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),

@@ -35,6 +35,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -343,62 +344,125 @@ def triangle_counts(
     node_name: str = "node",
     num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
-    """Per-node triangle counts over a DISTINCT oriented edge list
-    (each undirected edge exactly once, with ``a < b`` — the
-    co-occurrence graph's native shape).
+    """Per-node triangle counts over a DISTINCT edge list (each undirected
+    edge exactly once, with ``a < b`` — the co-occurrence graph's native
+    shape), DEGREE-ORIENTED before the wedge exchange.
 
-    Wedge-join formulation on the existing exchange machinery: wedges
-    (b, c) sharing a low endpoint come from one self-hash_join on ``a``,
-    and a second semi-join closes them against the edge set — two
-    partition-aligned exchanges total, no per-node Python.  Wedge volume
-    is sum(d_a^2)/2 over LOW endpoints: at web scale orient edges by
-    DEGREE (low-degree node first) before calling to bound the wedge
-    explosion at hub nodes; the id orientation used here keeps the result
-    oracle-reproducible with a plain 3-way SQL self-join (same triangles
-    either way — orientation only changes which endpoint generates the
-    wedge).
+    Wedge-join formulation on the existing exchange machinery, with the
+    classic hub-scale guard (Chiba–Nishizeki / Suri–Vassilvitskii
+    orientation): every edge points low-rank → high-rank in the total
+    order (degree asc, node asc), wedges are generated ONLY from the
+    low-rank endpoint, and a wedge (y1, y2) with rank(y1) < rank(y2) is
+    closed by a semi-join against the oriented edge set.  Wedge volume is
+    sum over nodes of d_out², and degree orientation bounds d_out by
+    O(sqrt(m)) — a Zipf-hot hub with degree h generates O(h) wedges from
+    its leaves instead of O(h²) from itself, so total wedge traffic is
+    O(m^1.5) regardless of skew.  Each triangle is enumerated exactly once
+    (from its lowest-rank corner), so per-corner counts are exact and the
+    result is identical to the un-oriented formulation (orientation only
+    changes which corner generates the wedge) — the 3-way SQL self-join
+    oracle keeps passing unchanged.
+
+    Partitioning assumption: the degree table folds on the coordinator and
+    the rank vocabulary broadcasts via ``ray.put`` — node cardinality must
+    be driver-sized (ontology-bounded for the co-occurrence KG, the same
+    assumption as the final per-node fold below).  At web-scale node
+    counts, swap the broadcast for a hash-join of ranks onto edges; the
+    wedge machinery is unchanged.
     """
+    import ray as _ray
+
+    from .combine import combine_partials
     from .join import hash_join
 
+    node_dtype = _col_dtype(edges_ds, a)
+
+    # --- degree rank: total order (degree asc, node asc) --------------------
+    def deg_partial(t: pa.Table) -> pa.Table:
+        allc = pa.chunked_array(
+            [t.column(a).combine_chunks(), t.column(b).combine_chunks()]
+        )
+        g = pa.table({"node": allc}).group_by(["node"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["node", "p_d"])
+
+    deg = combine_partials(
+        edges_ds.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"],
+        [("p_d", "sum", "degree")],
+        schema=pa.schema([("node", node_dtype), ("p_d", pa.int64())]),
+    )
+    if deg.num_rows == 0:
+        return rd.from_arrow(
+            pa.table({node_name: pa.array([], node_dtype),
+                      "n_triangles": pa.array([], pa.int64())})
+        )
+    order = pc.sort_indices(
+        deg, sort_keys=[("degree", "ascending"), ("node", "ascending")]
+    )
+    # rank(v) == index_in(v, vocab): position in the degree-sorted vocabulary
+    vocab_ref = _ray.put(deg.column("node").take(order).combine_chunks())
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([], node_dtype),
+                             "y": pa.array([], node_dtype),
+                             "ry": pa.array([], pa.int64())})
+        vocab = _ray.get(vocab_ref)
+        ra = np.asarray(pc.index_in(t.column(a), value_set=vocab), dtype=np.int64)
+        rb = np.asarray(pc.index_in(t.column(b), value_set=vocab), dtype=np.int64)
+        swap = pa.array(ra > rb)
+        return pa.table(
+            {
+                "x": pc.if_else(swap, t.column(b), t.column(a)),
+                "y": pc.if_else(swap, t.column(a), t.column(b)),
+                "ry": pa.array(np.maximum(ra, rb), pa.int64()),
+            }
+        )
+
+    # materialized once: three consumers (wedge-join left + right, closing
+    # semi-join right) would otherwise re-execute the whole upstream edge
+    # pipeline per consumption; the oriented edge list is graph-sized (not
+    # corpus-sized) and lives in the object store with spill
+    oriented = edges_ds.map_batches(orient, batch_format="pyarrow").materialize()
+
     wedges = hash_join(
-        edges_ds, edges_ds, on=a, how="inner", right_suffix="_r",
+        oriented, oriented, on="x", how="inner", right_suffix="_r",
         num_partitions=num_partitions,
     )
-    bl, br = b, f"{b}_r"
 
     def ordered(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
-        import pyarrow.compute as pc
-
-        return t.filter(pc.less(t.column(bl), t.column(br)))
+        # keep each unordered far-end pair once, ordered by RANK — the same
+        # orientation the edge set stores, so the closing semi-join matches
+        return t.filter(pc.less(t.column("ry"), t.column("ry_r")))
 
     wedges = wedges.map_batches(ordered, batch_format="pyarrow")
     tris = hash_join(
-        wedges, edges_ds.select_columns([a, b]), on=[bl, br], right_on=[a, b],
-        how="left semi", num_partitions=num_partitions,
+        wedges, oriented.select_columns(["x", "y"]), on=["y", "y_r"],
+        right_on=["x", "y"], how="left semi", num_partitions=num_partitions,
     )
 
     def corner_partial(t: pa.Table) -> pa.Table:
         # one row per triangle corner, then a block-local pre-count: the
         # downstream combine ships <= distinct-node rows per block
         allc = pa.chunked_array(
-            [t.column(a).combine_chunks(), t.column(bl).combine_chunks(),
-             t.column(br).combine_chunks()]
+            [t.column("x").combine_chunks(), t.column("y").combine_chunks(),
+             t.column("y_r").combine_chunks()]
         )
         g = pa.table({node_name: allc}).group_by([node_name]).aggregate(
             [([], "count_all")]
         )
         return g.rename_columns([node_name, "p_n"])
 
-    from .combine import combine_partials
-
     partials = tris.map_batches(corner_partial, batch_format="pyarrow")
     final = combine_partials(
         partials,
         [node_name],
         [("p_n", "sum", "n_triangles")],
-        schema=pa.schema([(node_name, _col_dtype(edges_ds, a)), ("p_n", pa.int64())]),
+        schema=pa.schema([(node_name, node_dtype), ("p_n", pa.int64())]),
     )
     return rd.from_arrow(final)
 

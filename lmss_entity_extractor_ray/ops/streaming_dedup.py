@@ -28,10 +28,12 @@ No driver-side structure scales with the corpus or the candidate stream:
 routing, candidate gathering, verification and index ingestion all happen
 in tasks holding actor handles; the driver only sequences shards and
 collects per-shard output block refs.  Per-actor memory at 1 B docs,
-256 shards, num_perm=64: ~2 GB of signatures + ~60 M bucket entries; a
-production deployment would periodically compact each actor's bucket dict
-into sorted arrays (searchsorted lookups) or spill cold buckets — noted
-here because this module keeps plain dicts for clarity.
+256 shards, num_perm=64: ~2 GB of signatures + ~60 M bucket entries; the
+bucket index is therefore a two-level LSM shape — a hot delta dict that
+COMPACTS into sorted numpy arrays (searchsorted lookups, ~17 bytes/entry)
+every ``compact_threshold`` inserted entries, so steady-state memory is
+array-backed, not dict-of-list-backed (see ``_IndexShard``; a parity
+pytest asserts compacted and uncompacted runs emit identical dup_of).
 
 Semantics (deterministic, so the batch path is its oracle):
 
@@ -120,11 +122,28 @@ def _slice_by_mod(keys: np.ndarray, ids: np.ndarray, m: int) -> List[Tuple]:
 @ray.remote
 class _IndexShard:
     """One shard of the rolling index: a slice of the bucket space plus a
-    slice of the doc store.  All state mutation happens here."""
+    slice of the doc store.  All state mutation happens here.
 
-    def __init__(self, store: str):
+    Bucket storage is a TWO-LEVEL LSM-style index: a hot DELTA dict (fast
+    O(1) appends for the current ingest window) over a COMPACTED layer of
+    sorted numpy arrays (``ckeys`` sorted bucket keys, ``coffs`` offsets,
+    ``cids`` flat member ids in arrival order — searchsorted lookups, ~17
+    bytes/entry vs ~100+ for dict-of-list).  Once the delta accumulates
+    ``compact_threshold`` entries it merges into the compacted layer in one
+    vectorized pass; within a bucket, compacted members are strictly older
+    than delta members, so concatenating compacted-then-delta preserves
+    arrival order and the ``bucket_cap`` skew guard keeps its exact
+    semantics.  ``compact_threshold=0`` disables compaction (plain dict)."""
+
+    def __init__(self, store: str, compact_threshold: int = 0):
         self.store = store
-        self.buckets: dict = {}       # bucket key -> [doc_id, ...] arrival order
+        self.compact_threshold = compact_threshold
+        self.buckets: dict = {}       # DELTA: bucket key -> [doc_id, ...] arrival order
+        self.delta_entries = 0
+        self.n_compactions = 0
+        self.ckeys = np.empty(0, np.int64)   # compacted bucket keys, sorted
+        self.coffs = np.zeros(1, np.int64)   # bucket i members = cids[coffs[i]:coffs[i+1]]
+        self.cids = np.empty(0, np.int64)    # flat member ids, arrival order per bucket
         self.sigs: dict = {}          # doc_id -> uint64[num_perm]
         self.shingles: dict = {}      # doc_id -> sorted int64 array
 
@@ -134,12 +153,32 @@ class _IndexShard:
         out_new: List[np.ndarray] = []
         out_old: List[np.ndarray] = []
         get = self.buckets.get
-        for k, did in zip(keys.tolist(), ids.tolist()):
+        nck = len(self.ckeys)
+        cpos = np.searchsorted(self.ckeys, keys) if nck else None
+        for i, (k, did) in enumerate(zip(keys.tolist(), ids.tolist())):
+            comp = None
+            if nck:
+                p = cpos[i]
+                if p < nck and self.ckeys[p] == k:
+                    comp = self.cids[self.coffs[p] : self.coffs[p + 1]]
             lst = get(k)
-            if lst:
-                olds = lst[:bucket_cap]
-                out_old.append(np.asarray(olds, dtype=np.int64))
-                out_new.append(np.full(len(olds), did, dtype=np.int64))
+            if comp is None and not lst:
+                continue
+            # arrival order: compacted (older) first, then delta
+            if comp is not None and len(comp) >= bucket_cap:
+                olds = comp[:bucket_cap]
+            elif comp is not None and len(comp):
+                olds = (
+                    np.concatenate(
+                        [comp, np.asarray(lst[: bucket_cap - len(comp)], np.int64)]
+                    )
+                    if lst
+                    else comp
+                )
+            else:
+                olds = np.asarray(lst[:bucket_cap], dtype=np.int64)
+            out_old.append(olds)
+            out_new.append(np.full(len(olds), did, dtype=np.int64))
         if not out_new:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(out_new), np.concatenate(out_old)
@@ -153,6 +192,48 @@ class _IndexShard:
                 buckets[k] = [did]
             else:
                 lst.append(did)
+        self.delta_entries += len(keys)
+        if self.compact_threshold and self.delta_entries >= self.compact_threshold:
+            self._compact()
+
+    def _compact(self) -> None:
+        """Merge the delta dict into the sorted compacted arrays — one
+        vectorized scatter per layer, no per-bucket Python in the fill."""
+        if not self.buckets:
+            return
+        items = sorted(self.buckets.items())
+        dkeys = np.fromiter((k for k, _ in items), np.int64, len(items))
+        dlens = np.fromiter((len(v) for _, v in items), np.int64, len(items))
+        dids = np.fromiter(
+            (d for _, v in items for d in v), np.int64, int(dlens.sum())
+        )
+        doffs = np.zeros(len(items) + 1, np.int64)
+        np.cumsum(dlens, out=doffs[1:])
+
+        allk = np.union1d(self.ckeys, dkeys)
+        old_lens = np.zeros(len(allk), np.int64)
+        pos_old = np.searchsorted(allk, self.ckeys)
+        old_lens[pos_old] = self.coffs[1:] - self.coffs[:-1]
+        new_lens = np.zeros(len(allk), np.int64)
+        pos_new = np.searchsorted(allk, dkeys)
+        new_lens[pos_new] = dlens
+        noffs = np.zeros(len(allk) + 1, np.int64)
+        np.cumsum(old_lens + new_lens, out=noffs[1:])
+        nids = np.empty(int(noffs[-1]), np.int64)
+        if len(self.ckeys):
+            lens_o = self.coffs[1:] - self.coffs[:-1]
+            tgt = np.repeat(noffs[pos_old], lens_o) + (
+                np.arange(int(self.coffs[-1])) - np.repeat(self.coffs[:-1], lens_o)
+            )
+            nids[tgt] = self.cids
+        tgt = np.repeat(noffs[pos_new] + old_lens[pos_new], dlens) + (
+            np.arange(int(doffs[-1])) - np.repeat(doffs[:-1], dlens)
+        )
+        nids[tgt] = dids
+        self.ckeys, self.coffs, self.cids = allk, noffs, nids
+        self.buckets = {}
+        self.delta_entries = 0
+        self.n_compactions += 1
 
     def put_docs(self, ids: np.ndarray, sigs: Optional[np.ndarray],
                  flat: Optional[np.ndarray], offs: Optional[np.ndarray]) -> None:
@@ -180,7 +261,11 @@ class _IndexShard:
 
     def stats(self) -> dict:
         return {
-            "buckets": len(self.buckets),
+            "buckets": len(self.buckets) + len(self.ckeys),
+            "delta_buckets": len(self.buckets),
+            "compacted_buckets": len(self.ckeys),
+            "compacted_entries": int(self.coffs[-1]),
+            "n_compactions": self.n_compactions,
             "docs": max(len(self.sigs), len(self.shingles)),
         }
 
@@ -429,6 +514,7 @@ def streaming_near_dup(
     store: str = "signature",
     insert_dups: bool = True,
     bucket_cap: int = 256,
+    compact_threshold: int = 1_000_000,
 ) -> rd.Dataset:
     """Rolling near-dup detection: docs stream through a live sharded LSH
     index in ascending ``doc_id`` order; each doc reports its first earlier
@@ -464,7 +550,10 @@ def streaming_near_dup(
     if not shards:
         return rd.from_arrow(_OUT_SCHEMA.empty_table())
 
-    actors = [_IndexShard.remote(store) for _ in range(num_index_shards)]
+    actors = [
+        _IndexShard.remote(store, compact_threshold)
+        for _ in range(num_index_shards)
+    ]
     A = num_index_shards
 
     def sign_shard(blocks) -> list:

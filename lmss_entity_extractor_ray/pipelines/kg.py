@@ -113,6 +113,7 @@ def triples_dataset_distinct(
     artifacts: OntologyArtifacts,
     cfg: EngineConfig = DEFAULT_CONFIG,
     global_dedup: Optional[bool] = None,
+    oracle_dump_dir: Optional[str] = None,
 ) -> rd.Dataset:
     """Distinct-link KG pipeline — the flagship scale path.
 
@@ -203,6 +204,23 @@ def triples_dataset_distinct(
             f"({len(matched_refs)} vocab blocks)"
         )
 
+    if oracle_dump_dir:
+        # Value-oracle seam (driver SFs only — never the production path):
+        # persist the pipeline's two intermediates so an external SQL engine
+        # can re-derive the triples independently (mentions ⋈ vocab + VERB
+        # gate + per-(url, pred, obj) keep-best).  The mention table is the
+        # already-materialized pivot; the vocab is ontology-bounded.
+        import shutil
+
+        import pyarrow.parquet as _pq
+
+        shutil.rmtree(oracle_dump_dir, ignore_errors=True)
+        os.makedirs(oracle_dump_dir, exist_ok=True)
+        mentions.write_parquet(os.path.join(oracle_dump_dir, "mentions"))
+        _pq.write_table(
+            ray.get(vocab_ref), os.path.join(oracle_dump_dir, "vocab.parquet")
+        )
+
     ds = mentions.map_batches(
         functools.partial(link_lookup_task, matched_ref=vocab_ref, cfg=cfg),
         batch_format="pyarrow",
@@ -232,6 +250,7 @@ def triples_dataset(
     global_dedup: Optional[bool] = None,
     fused: bool = True,
     mode: Optional[str] = None,
+    oracle_dump_dir: Optional[str] = None,
 ) -> rd.Dataset:
     """Lazy triples Dataset for a corpus Dataset.
 
@@ -249,7 +268,9 @@ def triples_dataset(
     if mode is None:
         mode = cfg.run.link_mode if fused else "modular"
     if mode == "distinct":
-        return triples_dataset_distinct(corpus_ds, artifacts, cfg, global_dedup)
+        return triples_dataset_distinct(
+            corpus_ds, artifacts, cfg, global_dedup, oracle_dump_dir=oracle_dump_dir
+        )
     if mode == "fused":
         import functools
 
@@ -299,7 +320,11 @@ def triples_dataset(
 
 def _block_keep_best(batch: pa.Table) -> pa.Table:
     """Vectorized keep-best-per-(subj,pred,obj) within ONE block: sort by
-    (key, -score, start), keep the first row of each key run."""
+    (key, -score, start), keep the first row of each key run.  ``end`` and
+    ``text`` are trailing tie-keys so the winner is FULLY determined by row
+    values (two distinct spans at the same start with a bit-equal score
+    would otherwise be broken by block layout), which is what lets the
+    kg_triples SQL oracle reproduce the keep-best with a window function."""
     if batch.num_rows <= 1:
         return batch
     order = pc.sort_indices(
@@ -310,6 +335,8 @@ def _block_keep_best(batch: pa.Table) -> pa.Table:
             ("obj", "ascending"),
             ("score", "descending"),
             ("start", "ascending"),
+            ("end", "ascending"),
+            ("text", "ascending"),
         ],
     )
     t = batch.take(order)
@@ -489,23 +516,29 @@ def cooccurrence_edges(
             [("subj", "ascending"), ("obj", "ascending")]
         )
         subj = t.column("subj").combine_chunks()
-        objs = t.column("obj").to_pylist()
+        objs = t.column("obj").combine_chunks()
         n = t.num_rows
+        if n < 2:
+            return empty
         same = np.asarray(pc.equal(subj.slice(1, n - 1), subj.slice(0, n - 1)))
         starts = np.concatenate(([0], np.nonzero(~same)[0] + 1, [n]))
-        a_out, b_out = [], []
-        for i in range(len(starts) - 1):
-            lo, hi = int(starts[i]), int(starts[i + 1])
-            row = objs[lo:hi]  # sorted ascending -> emitted pairs have a < b
-            for x in range(len(row)):
-                for y in range(x + 1, len(row)):
-                    a_out.append(row[x])
-                    b_out.append(row[y])
-        if not a_out:
+        # Vectorized within-run pair expansion (objs sorted asc -> a < b):
+        # row i (local index r in a run of length L) is the 'a' side of
+        # (L - 1 - r) pairs whose 'b' sides are the next rows of the run —
+        # run-length repeats + a global arange build both index vectors
+        # with zero per-pair Python.
+        lens = starts[1:] - starts[:-1]
+        rep_lens = np.repeat(lens, lens)
+        local = np.arange(n, dtype=np.int64) - np.repeat(starts[:-1], lens)
+        cnt = rep_lens - 1 - local  # pairs anchored at each row
+        total = int(cnt.sum())
+        if total == 0:
             return empty
-        t2 = pa.table(
-            {"iri_a": pa.array(a_out, pa.string()), "iri_b": pa.array(b_out, pa.string())}
-        )
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)))
+        b_idx = a_idx + 1 + (np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], cnt))
+        t2 = pa.table({"iri_a": objs.take(pa.array(a_idx)),
+                       "iri_b": objs.take(pa.array(b_idx))})
         g = t2.group_by(["iri_a", "iri_b"]).aggregate([([], "count_all")])
         from ..ops.partitioning import string_hash64
 

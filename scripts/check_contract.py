@@ -23,25 +23,12 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-qs, oracles = e.queries(), e.oracle_sql()
-
-# The driver runs oracle SQL verbatim at sf0.01, so the dual-read oracles
-# (kg_exact_label_hits, kg_cooccurrence_edges) hard-code sf0.01 /tmp paths.
-# When checking another SF_DIR, rewrite those paths to the sf the Ray side
-# actually writes — otherwise we'd silently compare against stale sf0.01
-# output (or fail on a missing path).
 import os
 
+# oracle_sql(sf) owns the dual-read /tmp path templating (the driver calls
+# it with no argument at sf0.01; any other sf rewrites every fixed path)
 _sf_name = os.path.basename(os.path.normpath(SF_DIR))
-if _sf_name != "sf0.01":
-    _n = e._CORPUS_ROWS.get(_sf_name, 1000)
-    oracles = {
-        k: v.replace("corpus-sf0.01-1000-", f"corpus-{_sf_name}-{_n}-")
-             .replace("triples-sf0.01", f"triples-{_sf_name}")
-             .replace("semdedup-assign-sf0.01", f"semdedup-assign-{_sf_name}")
-             .replace("streamdup-pairs-sf0.01", f"streamdup-pairs-{_sf_name}")
-        for k, v in oracles.items()
-    }
+qs, oracles = e.queries(), e.oracle_sql(_sf_name)
 
 
 def to_df(res):
