@@ -1190,6 +1190,34 @@ class TestTriangles:
         }
         assert got_map == exp
 
+    def test_hub_skew_star_plus_triangles(self, ray_session):
+        """Zipf-hub shape (the docstring's 'hub-scale knob', now code): a
+        hub with 500 leaves closes triangles only through two leaf-leaf
+        edges.  Degree orientation makes the LEAVES generate the wedges
+        (the hub is the highest-rank endpoint of every star edge), so the
+        wedge population stays O(leaves) instead of the hub's O(500²) —
+        and the counts must still be exact."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import triangle_counts
+
+        hub_edges = [(0, i) for i in range(1, 501)]
+        closers = [(1, 2), (3, 4)]           # close (0,1,2) and (0,3,4)
+        disjoint = [(900, 901), (900, 902), (901, 902)]
+        edges = hub_edges + closers + disjoint
+        ds = rd.from_arrow(
+            pa.table(
+                {"a": pa.array([e[0] for e in edges], pa.int64()),
+                 "b": pa.array([e[1] for e in edges], pa.int64())}
+            )
+        ).repartition(4)
+        got = dict(
+            zip(*(lambda d: (d["node"], d["n_triangles"]))(
+                triangle_counts(ds, num_partitions=4).to_pandas()
+            ))
+        )
+        assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1, 900: 1, 901: 1, 902: 1}
+
     def test_string_keys_and_no_triangles(self, ray_session):
         import ray.data as rd
 

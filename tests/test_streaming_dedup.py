@@ -140,6 +140,60 @@ class TestStreamingNearDup:
         assert int(canon.loc[2, "dup_of"]) == 1
         assert np.isnan(canon.loc[3, "dup_of"])   # b never entered the index
 
+    def test_compaction_parity_and_trigger(self, ray_session):
+        """A tiny compact_threshold forces repeated delta→array merges
+        mid-stream; the output must be IDENTICAL to the uncompacted run
+        (arrival order inside buckets is what the first-duplicate fold and
+        the bucket_cap guard depend on), and the shard actors must report
+        at least one compaction actually happened."""
+        import ray
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.streaming_dedup import (
+            _IndexShard,
+            streaming_near_dup,
+        )
+
+        tbl = _corpus()
+        kw = dict(
+            threshold=0.7, shard_rows=6, num_index_shards=3, store="shingles"
+        )
+        ds = rd.from_arrow(tbl).repartition(5)
+        plain = streaming_near_dup(ds, compact_threshold=0, **kw).to_pandas()
+        compacted = streaming_near_dup(ds, compact_threshold=16, **kw).to_pandas()
+        key = ["doc_id", "dup_of", "sim_e5"]
+        assert (
+            plain.sort_values("doc_id")[key].fillna(-1).values.tolist()
+            == compacted.sort_values("doc_id")[key].fillna(-1).values.tolist()
+        )
+
+        # direct actor check: threshold crossings compact, lookups span both
+        # layers, and per-bucket arrival order survives the merge
+        shard = _IndexShard.remote("signature", 4)
+        keys = np.array([7, 7, 9], dtype=np.int64)
+        ids = np.array([1, 2, 3], dtype=np.int64)
+        ray.get(shard.insert.remote((keys, ids)))          # 3 entries -> delta
+        ray.get(shard.insert.remote((np.array([7], np.int64),
+                                     np.array([4], np.int64))))  # 4th -> compact
+        st = ray.get(shard.stats.remote())
+        assert st["n_compactions"] == 1
+        assert st["compacted_entries"] == 4 and st["delta_buckets"] == 0
+        # post-compaction insert goes to the delta; query sees compacted
+        # members FIRST (they are older), then delta members
+        ray.get(shard.insert.remote((np.array([7], np.int64),
+                                     np.array([9], np.int64))))
+        news, olds = ray.get(
+            shard.query.remote((np.array([7], np.int64),
+                                np.array([10], np.int64)), 256)
+        )
+        assert olds.tolist() == [1, 2, 4, 9]
+        # bucket_cap truncates the merged view in arrival order
+        news, olds = ray.get(
+            shard.query.remote((np.array([7], np.int64),
+                                np.array([11], np.int64)), 3)
+        )
+        assert olds.tolist() == [1, 2, 4]
+
     def test_empty_input(self, ray_session):
         import ray.data as rd
 
