@@ -609,10 +609,11 @@ def run_smoke(n_docs: int = 200_000) -> dict:
     timed("tfidf_topk", lambda: tfidf_topk(docs(), k=10).count())
 
     from lmss_entity_extractor_ray.ops.line_dedup import line_dedup
-    from lmss_entity_extractor_ray.ops.substr_dedup import dup_span_stats
+    from lmss_entity_extractor_ray.ops.substr_dedup import cut_dup_spans, dup_span_stats
 
     timed("line_dedup", lambda: line_dedup(docs()).count())
     timed("dup_span_stats", lambda: dup_span_stats(docs(), k=8).count())
+    timed("cut_dup_spans", lambda: cut_dup_spans(docs(), k=8).count())
 
     return {
         "metric": "smoke_total_sec",

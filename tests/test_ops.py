@@ -961,6 +961,35 @@ class TestRelationalVsDuckDB:
             con,
         )
 
+    def test_kg_triples_value_oracle(self, ray_session, con):
+        """Flagship dual-read oracle in CI: the sf0.001 triples re-derived
+        by SQL from the dumped mention + vocab tables must match the Ray
+        output value-for-value (oracle_sql templates the /tmp paths per sf)."""
+        import __ray_entry__ as e
+
+        sqls = e.oracle_sql("sf0.001")
+        self._cmp(e.queries()["kg_triples"](SF), sqls["kg_triples"], con)
+        self._cmp(
+            e.queries()["kg_triples_dedup_backstop"](SF),
+            sqls["kg_triples_dedup_backstop"],
+            con,
+        )
+
+    def test_minhash_value_oracle(self, ray_session, con):
+        """MinHash dual-read oracle in CI: SQL recomputes the exact
+        word-shingle Jaccard over the written candidate pairs."""
+        import duckdb
+
+        import __ray_entry__ as e
+
+        con2 = duckdb.connect()
+        con2.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        self._cmp(
+            e.queries()["minhash_near_dup"](SF),
+            e.oracle_sql("sf0.001")["minhash_near_dup"],
+            con2,
+        )
+
 
 # ---------------------------------------------------------------------------
 # graph (dup clusters) + grouped top-k
