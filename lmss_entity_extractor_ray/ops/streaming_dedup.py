@@ -144,8 +144,16 @@ class _IndexShard:
         self.ckeys = np.empty(0, np.int64)   # compacted bucket keys, sorted
         self.coffs = np.zeros(1, np.int64)   # bucket i members = cids[coffs[i]:coffs[i+1]]
         self.cids = np.empty(0, np.int64)    # flat member ids, arrival order per bucket
-        self.sigs: dict = {}          # doc_id -> uint64[num_perm]
-        self.shingles: dict = {}      # doc_id -> sorted int64 array
+        self.sigs: dict = {}          # DELTA doc store: doc_id -> uint64[num_perm]
+        self.shingles: dict = {}      # DELTA doc store: doc_id -> sorted int64 array
+        # compacted doc store (same trigger as the bucket compaction): a
+        # sorted id array + one dense matrix / one flat+offsets pair --
+        # ~zero per-doc Python-object overhead at 10^9-doc scale
+        self.c_sig_ids = np.empty(0, np.int64)
+        self.c_sig: Optional[np.ndarray] = None      # uint64[n, num_perm]
+        self.c_sh_ids = np.empty(0, np.int64)
+        self.c_sh_offs = np.zeros(1, np.int64)
+        self.c_sh_flat = np.empty(0, np.int64)
 
     def query(self, packed: Tuple[np.ndarray, np.ndarray], bucket_cap: int):
         """Candidate (new, old) pairs for this slice of a shard's band rows."""
@@ -234,6 +242,54 @@ class _IndexShard:
         self.buckets = {}
         self.delta_entries = 0
         self.n_compactions += 1
+        self._compact_docs()
+
+    def _compact_docs(self) -> None:
+        """Fold the delta doc stores into the sorted compacted arrays.  A
+        doc is stored exactly once, so the merge is a pure permutation of
+        disjoint id sets (in practice delta ids are all newer/larger, making
+        this an append; the stable argsort handles the general case)."""
+        if self.sigs:
+            dids = np.fromiter(self.sigs.keys(), np.int64, len(self.sigs))
+            mat = np.asarray(list(self.sigs.values()))  # same iteration order
+            if self.c_sig is None:
+                order = np.argsort(dids, kind="stable")
+                self.c_sig_ids, self.c_sig = dids[order], mat[order]
+            else:
+                allids = np.concatenate([self.c_sig_ids, dids])
+                order = np.argsort(allids, kind="stable")
+                self.c_sig_ids = allids[order]
+                self.c_sig = np.concatenate([self.c_sig, mat], axis=0)[order]
+            self.sigs = {}
+        if self.shingles:
+            items = sorted(self.shingles.items())
+            ids2 = np.fromiter((k for k, _ in items), np.int64, len(items))
+            lens2 = np.fromiter((len(v) for _, v in items), np.int64, len(items))
+            offs2 = np.zeros(len(items) + 1, np.int64)
+            np.cumsum(lens2, out=offs2[1:])
+            flat2 = (
+                np.concatenate([v for _, v in items])
+                if int(offs2[-1])
+                else np.empty(0, np.int64)
+            )
+            old_lens = self.c_sh_offs[1:] - self.c_sh_offs[:-1]
+            allids = np.concatenate([self.c_sh_ids, ids2])
+            alllens = np.concatenate([old_lens, lens2])
+            src_offs = np.concatenate(
+                [self.c_sh_offs[:-1], self.c_sh_offs[-1] + offs2[:-1]]
+            )
+            order = np.argsort(allids, kind="stable")
+            allids, alllens, src_offs = allids[order], alllens[order], src_offs[order]
+            noffs = np.zeros(len(allids) + 1, np.int64)
+            np.cumsum(alllens, out=noffs[1:])
+            flat_all = np.concatenate([self.c_sh_flat, flat2])
+            idx = np.repeat(src_offs, alllens) + (
+                np.arange(int(noffs[-1])) - np.repeat(noffs[:-1], alllens)
+            )
+            self.c_sh_ids = allids
+            self.c_sh_offs = noffs
+            self.c_sh_flat = flat_all[idx]
+            self.shingles = {}
 
     def put_docs(self, ids: np.ndarray, sigs: Optional[np.ndarray],
                  flat: Optional[np.ndarray], offs: Optional[np.ndarray]) -> None:
@@ -244,13 +300,28 @@ class _IndexShard:
             for i, did in enumerate(ids.tolist()):
                 self.shingles[did] = flat[offs[i] : offs[i + 1]]
 
+    def _sig_of(self, d: int) -> np.ndarray:
+        v = self.sigs.get(d)
+        if v is not None:
+            return v
+        p = int(np.searchsorted(self.c_sig_ids, d))
+        return self.c_sig[p]
+
+    def _sh_of(self, d: int) -> np.ndarray:
+        v = self.shingles.get(d)
+        if v is not None:
+            return v
+        p = int(np.searchsorted(self.c_sh_ids, d))
+        return self.c_sh_flat[self.c_sh_offs[p] : self.c_sh_offs[p + 1]]
+
     def get_docs(self, ids: np.ndarray):
-        """Stored doc data for verification (old side of candidates)."""
+        """Stored doc data for verification (old side of candidates) --
+        served from the delta dict or the compacted arrays."""
         if self.store == "signature":
             if not len(ids):
                 return None
-            return np.stack([self.sigs[d] for d in ids.tolist()])
-        flats = [self.shingles[d] for d in ids.tolist()]
+            return np.stack([self._sig_of(d) for d in ids.tolist()])
+        flats = [self._sh_of(d) for d in ids.tolist()]
         offs = np.zeros(len(flats) + 1, dtype=np.int64)
         if flats:
             np.cumsum([len(f) for f in flats], out=offs[1:])
@@ -266,7 +337,11 @@ class _IndexShard:
             "compacted_buckets": len(self.ckeys),
             "compacted_entries": int(self.coffs[-1]),
             "n_compactions": self.n_compactions,
-            "docs": max(len(self.sigs), len(self.shingles)),
+            "docs": max(
+                len(self.sigs) + len(self.c_sig_ids),
+                len(self.shingles) + len(self.c_sh_ids),
+            ),
+            "compacted_docs": max(len(self.c_sig_ids), len(self.c_sh_ids)),
         }
 
 

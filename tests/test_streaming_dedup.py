@@ -194,6 +194,35 @@ class TestStreamingNearDup:
         )
         assert olds.tolist() == [1, 2, 4]
 
+        # doc stores compact on the same trigger and serve from BOTH layers
+        sig = ray.get(shard.stats.remote())  # before doc puts
+        sigs = np.arange(8, dtype=np.uint64).reshape(2, 4)
+        ray.get(shard.put_docs.remote(np.array([1, 2], np.int64), sigs, None, None))
+        ray.get(shard.insert.remote((np.full(4, 5, np.int64),
+                                     np.arange(20, 24, dtype=np.int64))))  # -> compacts
+        st2 = ray.get(shard.stats.remote())
+        assert st2["n_compactions"] == 2 and st2["compacted_docs"] == 2
+        ray.get(shard.put_docs.remote(np.array([3], np.int64),
+                                      np.full((1, 4), 9, np.uint64), None, None))
+        got = ray.get(shard.get_docs.remote(np.array([1, 3, 2], np.int64)))
+        assert got.tolist() == [[0, 1, 2, 3], [9, 9, 9, 9], [4, 5, 6, 7]]
+
+        # shingle store: flat+offsets survive a two-round merge
+        sh = _IndexShard.remote("shingles", 2)
+        ray.get(sh.put_docs.remote(
+            np.array([10, 11], np.int64), None,
+            np.array([100, 101, 200], np.int64), np.array([0, 2, 3], np.int64)))
+        ray.get(sh.insert.remote((np.array([1, 1], np.int64),
+                                  np.array([10, 11], np.int64))))  # compacts round 1
+        ray.get(sh.put_docs.remote(
+            np.array([5], np.int64), None,
+            np.array([50, 51], np.int64), np.array([0, 2], np.int64)))
+        ray.get(sh.insert.remote((np.array([2, 2], np.int64),
+                                  np.array([5, 5], np.int64))))    # compacts round 2 (unsorted-id merge)
+        flat, offs = ray.get(sh.get_docs.remote(np.array([5, 10, 11], np.int64)))
+        segs = [flat[offs[i]:offs[i + 1]].tolist() for i in range(3)]
+        assert segs == [[50, 51], [100, 101], [200]]
+
     def test_empty_input(self, ray_session):
         import ray.data as rd
 
