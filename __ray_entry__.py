@@ -762,6 +762,34 @@ def _q_streaming_near_dup(sf_dir: str):
     return out.map_batches(dups_only, batch_format="pyarrow")
 
 
+def _q_streaming_near_dup_compacted(sf_dir: str):
+    """Same rolling-index semantics, but with ``compact_threshold=64`` so
+    the LSM bucket/doc-store compaction fires repeatedly mid-stream — the
+    driver value-checks the COMPACTED read path against the same batch-fold
+    SQL (insert-all semantics are compaction-invariant by construction)."""
+    import shutil
+
+    from lmss_entity_extractor_ray.ops.dedup import near_dup_pairs_minhash
+    from lmss_entity_extractor_ray.ops.streaming_dedup import streaming_near_dup
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    path = f"/tmp/graft_kg/streamdup-pairs2-{sf_name}"
+    shutil.rmtree(path, ignore_errors=True)
+    near_dup_pairs_minhash(docs, threshold=0.2).write_parquet(path)
+    out = streaming_near_dup(
+        docs, threshold=0.2, store="shingles", insert_dups=True,
+        shard_rows=128, num_index_shards=4, compact_threshold=64,
+    )
+
+    def dups_only(b):
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_valid(b.column("dup_of")))
+
+    return out.map_batches(dups_only, batch_format="pyarrow")
+
+
 def _q_dup_clusters(sf_dir: str):
     """Transitive closure of the exact n-gram near-dup pairs: every paired
     doc labeled with its cluster (min reachable doc_id)."""
@@ -1639,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "minhash_near_dup": _q_minhash_near_dup,
         "streaming_near_dup": _q_streaming_near_dup,
+        "streaming_near_dup_compacted": _q_streaming_near_dup_compacted,
         # --- last verified in round 3 ---------------------------------------
         "ann_topk": _q_ann_topk,
         "ann_topk_multi": _q_ann_topk_multi,
@@ -2608,6 +2637,15 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
                 FROM read_parquet('/tmp/graft_kg/streamdup-pairs-sf0.01/*.parquet')
             ) WHERE rn = 1
         """,
+        "streaming_near_dup_compacted": """
+            SELECT b AS doc_id, a AS dup_of,
+                   CAST(floor(jaccard * 100000 + 0.5) AS BIGINT) AS sim_e5
+            FROM (
+                SELECT a, b, jaccard,
+                       row_number() OVER (PARTITION BY b ORDER BY a) AS rn
+                FROM read_parquet('/tmp/graft_kg/streamdup-pairs2-sf0.01/*.parquet')
+            ) WHERE rn = 1
+        """,
         # full-probe partitioned-index query degenerates to the exact answer
         "ivf_index_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -2917,6 +2955,7 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             "kgdump-sf0.01": f"kgdump-{sf}",
             "semdedup-assign-sf0.01": f"semdedup-assign-{sf}",
             "streamdup-pairs-sf0.01": f"streamdup-pairs-{sf}",
+            "streamdup-pairs2-sf0.01": f"streamdup-pairs2-{sf}",
             "minhash-cands-sf0.01": f"minhash-cands-{sf}",
         }
         for old, new in _SF_ORACLE_PATHS.items():
