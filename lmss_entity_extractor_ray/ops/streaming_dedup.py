@@ -34,6 +34,11 @@ COMPACTS into sorted numpy arrays (searchsorted lookups, ~17 bytes/entry)
 every ``compact_threshold`` inserted entries, so steady-state memory is
 array-backed, not dict-of-list-backed (see ``_IndexShard``; a parity
 pytest asserts compacted and uncompacted runs emit identical dup_of).
+``RollingIndex`` makes the index a first-class long-lived handle:
+successive ``streaming_near_dup(..., index=idx)`` calls continue one
+ingest stream (tick t+1 dedups against everything tick t inserted), and
+``save``/``load`` checkpoint the full compacted state to disk — the
+restarted driver resumes the stream without re-signing history.
 
 Semantics (deterministic, so the batch path is its oracle):
 
@@ -330,6 +335,44 @@ class _IndexShard:
             offs,
         )
 
+    def snapshot(self) -> dict:
+        """Checkpoint this shard's full index state as a dict of numpy
+        arrays (compacts the delta layers first, so the snapshot IS the
+        compacted representation — nothing dict-shaped leaves the actor)."""
+        self._compact()        # no-op when the bucket delta is empty ...
+        self._compact_docs()   # ... but doc deltas must compact regardless
+        return {
+            "ckeys": self.ckeys,
+            "coffs": self.coffs,
+            "cids": self.cids,
+            "c_sig_ids": self.c_sig_ids,
+            "c_sig": (
+                self.c_sig
+                if self.c_sig is not None
+                else np.empty((0, 0), np.uint64)
+            ),
+            "c_sh_ids": self.c_sh_ids,
+            "c_sh_offs": self.c_sh_offs,
+            "c_sh_flat": self.c_sh_flat,
+            "n_compactions": np.int64(self.n_compactions),
+        }
+
+    def restore(self, state: dict) -> None:
+        self.buckets = {}
+        self.sigs = {}
+        self.shingles = {}
+        self.delta_entries = 0
+        self.ckeys = state["ckeys"]
+        self.coffs = state["coffs"]
+        self.cids = state["cids"]
+        self.c_sig_ids = state["c_sig_ids"]
+        sig = state["c_sig"]
+        self.c_sig = sig if sig.size else None
+        self.c_sh_ids = state["c_sh_ids"]
+        self.c_sh_offs = state["c_sh_offs"]
+        self.c_sh_flat = state["c_sh_flat"]
+        self.n_compactions = int(state["n_compactions"])
+
     def stats(self) -> dict:
         return {
             "buckets": len(self.buckets) + len(self.ckeys),
@@ -578,6 +621,85 @@ def _nrows(t: pa.Table) -> int:
     return t.num_rows
 
 
+class RollingIndex:
+    """Handle to a LIVE sharded rolling-dedup index that outlives any one
+    ``streaming_near_dup`` call — the production rolling-ingest shape: tick
+    t's call inserts its docs, the handle persists, tick t+1's call dedups
+    against everything ever inserted.  ``save``/``load`` checkpoint the full
+    index state to disk (one .npz per shard actor + a params manifest), so a
+    restarted driver resumes the ingest stream without re-signing history —
+    the streaming counterpart of the KG runner's shard-manifest resume.
+
+    Signature-space parameters (num_perm / bands / shingle_k / store) are
+    fixed at creation and travel with the handle; per-call knobs
+    (threshold, bucket_cap, shard_rows) may vary between calls.  Docs must
+    keep arriving in globally ascending ``doc_id`` order across calls (the
+    module's arrival-order contract)."""
+
+    def __init__(self, actors, store, num_perm, bands, shingle_k,
+                 compact_threshold):
+        self.actors = actors
+        self.store = store
+        self.num_perm = num_perm
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.compact_threshold = compact_threshold
+
+    @classmethod
+    def create(cls, num_shards: int = 8, store: str = "signature",
+               num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+               compact_threshold: int = 1_000_000) -> "RollingIndex":
+        assert store in ("signature", "shingles")
+        actors = [
+            _IndexShard.remote(store, compact_threshold) for _ in range(num_shards)
+        ]
+        return cls(actors, store, num_perm, bands, shingle_k, compact_threshold)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        states = ray.get([a.snapshot.remote() for a in self.actors])
+        for i, st in enumerate(states):
+            np.savez(os.path.join(path, f"shard{i}.npz"), **st)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "num_shards": len(self.actors),
+                    "store": self.store,
+                    "num_perm": self.num_perm,
+                    "bands": self.bands,
+                    "shingle_k": self.shingle_k,
+                    "compact_threshold": self.compact_threshold,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "RollingIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        idx = cls.create(
+            meta["num_shards"], meta["store"], meta["num_perm"], meta["bands"],
+            meta["shingle_k"], meta["compact_threshold"],
+        )
+        acks = []
+        for i, a in enumerate(idx.actors):
+            with np.load(os.path.join(path, f"shard{i}.npz")) as z:
+                acks.append(a.restore.remote({k: z[k] for k in z.files}))
+        ray.get(acks)
+        return idx
+
+    def stats(self) -> List[dict]:
+        return ray.get([a.stats.remote() for a in self.actors])
+
+
 def streaming_near_dup(
     docs_ds: rd.Dataset,
     threshold: float = 0.7,
@@ -590,6 +712,7 @@ def streaming_near_dup(
     insert_dups: bool = True,
     bucket_cap: int = 256,
     compact_threshold: int = 1_000_000,
+    index: Optional[RollingIndex] = None,
 ) -> rd.Dataset:
     """Rolling near-dup detection: docs stream through a live sharded LSH
     index in ascending ``doc_id`` order; each doc reports its first earlier
@@ -597,11 +720,23 @@ def streaming_near_dup(
     (doc_id, dup_of nullable int64, sim_e5 nullable int64) — see the
     module docstring for the exact semantics and the scale design.
 
+    ``index``: pass a ``RollingIndex`` to dedup THIS batch against
+    everything previously inserted through the same handle (and to leave
+    this batch's docs in the index for future calls) — the rolling-ingest
+    continuation shape; signature-space params then come from the handle.
+    Without it, a fresh per-call index is built and discarded.
+
     The parity pytest runs ``store="shingles"`` against the batch
     ``near_dup_pairs_minhash`` fold; ``store="signature"`` is the
     bounded-memory production path (verification by signature-estimated
     Jaccard instead of exact shingle Jaccard)."""
     assert store in ("signature", "shingles")
+    if index is not None:
+        store = index.store
+        num_perm = index.num_perm
+        bands = index.bands
+        shingle_k = index.shingle_k
+        num_index_shards = len(index.actors)
     sorted_ds = (
         docs_ds.select_columns(["doc_id", "text"]).sort("doc_id").materialize()
     )
@@ -625,10 +760,14 @@ def streaming_near_dup(
     if not shards:
         return rd.from_arrow(_OUT_SCHEMA.empty_table())
 
-    actors = [
-        _IndexShard.remote(store, compact_threshold)
-        for _ in range(num_index_shards)
-    ]
+    actors = (
+        index.actors
+        if index is not None
+        else [
+            _IndexShard.remote(store, compact_threshold)
+            for _ in range(num_index_shards)
+        ]
+    )
     A = num_index_shards
 
     def sign_shard(blocks) -> list:

@@ -223,6 +223,53 @@ class TestStreamingNearDup:
         segs = [flat[offs[i]:offs[i + 1]].tolist() for i in range(3)]
         assert segs == [[50, 51], [100, 101], [200]]
 
+    def test_rolling_index_continuation_and_checkpoint(self, ray_session, tmp_path):
+        """The production rolling shape: two ingest ticks through ONE
+        persistent RollingIndex must emit exactly what one uninterrupted
+        run emits (tick 2 dedups against tick 1's inserts), and a
+        save → load checkpoint between the ticks must change nothing —
+        the restarted driver resumes without re-signing history."""
+        import pandas as pd
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.streaming_dedup import (
+            RollingIndex,
+            streaming_near_dup,
+        )
+
+        tbl = _corpus()
+        order = pa.compute.sort_indices(tbl.column("doc_id"))
+        tbl = tbl.take(order)
+        # cut INSIDE the planted dup groups (sorted ids: …,100,101 | 102,
+        # 110(empty~30), 120("two words"~40), 200, 201) so tick 2 contains
+        # docs whose first duplicate lives in tick 1 — true cross-tick dedup
+        half = 28
+        t1, t2 = tbl.slice(0, half), tbl.slice(half)
+        kw = dict(threshold=0.7, shard_rows=8, store="shingles")
+
+        full = streaming_near_dup(
+            rd.from_arrow(tbl), num_index_shards=3, **kw
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        # tick 1 → checkpoint → load → tick 2
+        idx = RollingIndex.create(num_shards=3, store="shingles",
+                                  compact_threshold=32)
+        out1 = streaming_near_dup(rd.from_arrow(t1), index=idx, **kw).to_pandas()
+        idx.save(str(tmp_path / "ckpt"))
+        idx2 = RollingIndex.load(str(tmp_path / "ckpt"))
+        # the restored index starts fully compacted
+        st = idx2.stats()
+        assert all(s["delta_buckets"] == 0 for s in st)
+        assert sum(s["compacted_docs"] for s in st) == half
+        out2 = streaming_near_dup(rd.from_arrow(t2), index=idx2, **kw).to_pandas()
+
+        both = (
+            pd.concat([out1, out2]).sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(both, full)
+        # cross-tick dups actually happened (planted pairs straddle the cut)
+        assert out2["dup_of"].notna().any()
+
     def test_empty_input(self, ray_session):
         import ray.data as rd
 
