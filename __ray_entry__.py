@@ -867,6 +867,52 @@ def _q_ivf_index_topk(sf_dir: str):
     return ivf_query(idx, _min_vec_query(sf_dir), k=10, n_probe=8)
 
 
+_IVF_APPEND_OFF = 1_000_000
+
+
+def _q_ivf_index_append_topk(sf_dir: str):
+    """Rolling-ingest ANN: build the partitioned IVF index, then
+    ``ivf_append`` a NEW vector batch (the embeddings negated, ids offset —
+    deterministic and SQL-expressible) into the existing cells, and query
+    with full probe — which degenerates to the exact answer over the
+    UNION, so a lost/duplicated/mis-assigned appended row breaks the value
+    oracle."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lmss_entity_extractor_ray.ops.similarity import (
+        emb_np,
+        ivf_append,
+        ivf_build,
+        ivf_query,
+    )
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/graft_kg/ivf-index-incr-{sf_name}"
+    shutil.rmtree(idx, ignore_errors=True)
+    emb = _read(sf_dir, "embeddings")
+    ivf_build(emb, idx, n_centroids=8)
+
+    def negate(b: pa.Table) -> pa.Table:
+        mat = -emb_np(b)
+        n, d = mat.shape
+        neg = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * d),
+            pa.array(mat.reshape(-1).astype(np.float32), pa.float32()),
+        )
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"vec_id": pc.add(b.column("vec_id"), _IVF_APPEND_OFF),
+             "embedding": neg}
+        )
+
+    ivf_append(idx, emb.map_batches(negate, batch_format="pyarrow"))
+    return ivf_query(idx, _min_vec_query(sf_dir), k=10, n_probe=8)
+
+
 _MIX_RATES = {"en": 0.5, "de": 0.9, "fr": 0.35, "es": 0.6, "zh": 1.0}
 _MIX_SALT = 7
 
@@ -1657,6 +1703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "distinct_tokens_hll": _q_distinct_tokens_hll,
         "ivf_index_topk": _q_ivf_index_topk,
+        "ivf_index_append_topk": _q_ivf_index_append_topk,
         "multiprobe_lsh_topk": _q_multiprobe_lsh_topk,
         # --- round-5 code/oracle changes -----------------------------------
         "kg_triples": _q_kg_triples,
@@ -2654,6 +2701,23 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
                    CAST(floor(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), q.e)
                               * 100000 + 0.5) AS BIGINT) AS cos_e5
             FROM embeddings e2, q
+            ORDER BY cos_e5 DESC, vec_id LIMIT 10
+        """,
+        # full-probe over the appended index == exact top-k over the UNION
+        # of the base vectors and the negated/offset appended batch
+        "ivf_index_append_topk": """
+            WITH u AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                FROM embeddings),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                  WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            SELECT u.vec_id,
+                   CAST(floor(list_cosine_similarity(u.e, q.e) * 100000 + 0.5)
+                        AS BIGINT) AS cos_e5
+            FROM u, q
             ORDER BY cos_e5 DESC, vec_id LIMIT 10
         """,
         "knn_top1": """

@@ -565,6 +565,37 @@ def ivf_build(
     return cents
 
 
+def ivf_append(index_dir: str, emb_ds: rd.Dataset) -> int:
+    """Incrementally add vectors to a persisted IVF index — the rolling
+    ingest path: new vectors are assigned to the EXISTING centroid cells
+    (standard IVF add; centroids stay fixed so previously-written cells
+    remain valid) and appended as new uniquely-named parquet files inside
+    the same hive partitions.  ``ivf_query`` picks them up transparently
+    via its per-cell glob.  Returns the number of vectors appended.
+
+    Centroids are not re-fit: under distribution drift the cell balance
+    degrades gracefully (queries stay CORRECT for any n_probe because
+    scoring is exact within probed cells; only pruning efficiency decays) —
+    rebuild via ``ivf_build`` when cell-size skew passes a threshold, the
+    same rebuild-vs-append tradeoff as any LSM/IVF system."""
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cents_ref)
+        mat = emb_np(batch)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((mat / norms) @ cs.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int64()))
+
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow").materialize()
+    assigned.write_parquet(index_dir, partition_cols=["ivf_cell"])
+    return assigned.count()
+
+
 def ivf_query(
     index_dir: str, query: Sequence[float], k: int = 10, n_probe: int = 8,
 ) -> rd.Dataset:

@@ -509,6 +509,65 @@ class TestSimilarity:
         assert len(got_ids & truth_ids) >= 3
         assert emb_tbl.column("vec_id")[7].as_py() in got_ids
 
+    def test_ivf_append_rolling_ingest(self, ray_session, emb_ds, emb_tbl, tmp_path):
+        """Incremental add into the persisted index: appended vectors join
+        the existing hive cells as new files (no clobbering), and a
+        full-probe query equals the exact baseline over the UNION — a
+        lost, duplicated or mis-assigned appended row breaks it."""
+        import glob
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.similarity import (
+            emb_np,
+            ivf_append,
+            ivf_build,
+            ivf_query,
+        )
+
+        idx = str(tmp_path / "ivf_roll")
+        ivf_build(emb_ds, idx, n_centroids=8)
+        files_before = set(glob.glob(os.path.join(idx, "ivf_cell=*", "*.parquet")))
+
+        OFF = 10_000
+
+        def negate(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mat = -emb_np(b)
+            n, d = mat.shape
+            neg = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * d),
+                pa.array(mat.reshape(-1).astype(np.float32), pa.float32()),
+            )
+            return pa.table(
+                {"vec_id": pc.add(b.column("vec_id"), OFF), "embedding": neg}
+            )
+
+        n_added = ivf_append(idx, emb_ds.map_batches(negate, batch_format="pyarrow"))
+        assert n_added == emb_tbl.num_rows
+        files_after = set(glob.glob(os.path.join(idx, "ivf_cell=*", "*.parquet")))
+        assert files_before < files_after  # strictly additive
+
+        # exact union baseline: base vectors + negated/offset vectors
+        q = np.array(emb_tbl.column("embedding")[7].as_py(), dtype=np.float64)
+        ids = np.asarray(emb_tbl.column("vec_id"), dtype=np.int64)
+        mat = emb_np(emb_tbl)
+        u_ids = np.concatenate([ids, ids + OFF])
+        u_mat = np.concatenate([mat, -mat.astype(np.float32).astype(np.float64)])
+        qn = q / np.linalg.norm(q)
+        norms = np.linalg.norm(u_mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (u_mat / norms[:, None]) @ qn
+        e5 = np.floor(cos * 100_000 + 0.5).astype(np.int64)
+        order = np.lexsort((u_ids, -e5))[:10]
+        expect = list(zip(u_ids[order].tolist(), e5[order].tolist()))
+
+        df = ivf_query(idx, q, k=10, n_probe=8).to_pandas()
+        assert list(zip(df["vec_id"].tolist(), df["cos_e5"].tolist())) == expect
+
 
 # ---------------------------------------------------------------------------
 # sampling
