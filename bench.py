@@ -220,11 +220,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "domain_mix",
         "doc_dispatch_quarantine",
         "ivf_index_topk",
+        "ivf_index_append_topk",
         # round-4 late additions
         "fuzzy_decontaminate",
         "corpus_report",
         "cut_dup_spans",
         "streaming_near_dup",
+        "streaming_near_dup_compacted",
         "dsir_select",
         "kg_pagerank",
         "kg_pagerank_weighted",
