@@ -1571,9 +1571,21 @@ def _q_events_by_type(sf_dir: str):
 
 
 def _q_filter_parts(sf_dir: str):
+    """Predicate pushed INTO the read (pyarrow dataset expression → parquet
+    row-group pruning: only row groups whose p_size stats overlap [30, ∞)
+    leave storage) — the op's vectorized in-batch filter stays as the exact
+    residual so semantics don't depend on row-group statistics."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
     from lmss_entity_extractor_ray.ops.relational import filter_parts
 
-    return filter_parts(_read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_retailprice"]))
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_size", "p_retailprice"],
+        filter=_pc.field("p_size") >= 30,
+    )
+    return filter_parts(ds)
 
 
 def _pagerank_oracle_sql(
