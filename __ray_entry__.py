@@ -867,6 +867,20 @@ def _q_ivf_index_topk(sf_dir: str):
     return ivf_query(idx, _min_vec_query(sf_dir), k=10, n_probe=8)
 
 
+def _q_multiprobe_lsh_full_topk(sf_dir: str):
+    """Full-probe multiprobe: n_probes == 2**n_planes enumerates the entire
+    perturbation sequence, the scan covers every bucket and the result is
+    bitwise the exact top-k — which makes the whole mask-enumeration +
+    bucket-scan + merge machinery SQL-checkable (the recall-path variant
+    multiprobe_lsh_topk stays as the approximate driver query)."""
+    from lmss_entity_extractor_ray.ops.similarity import multiprobe_lsh_topk
+
+    return multiprobe_lsh_topk(
+        _read(sf_dir, "embeddings"), _min_vec_query(sf_dir), k=10,
+        n_planes=4, n_probes=16,
+    )
+
+
 _IVF_APPEND_OFF = 1_000_000
 
 
@@ -1717,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index_topk": _q_ivf_index_topk,
         "ivf_index_append_topk": _q_ivf_index_append_topk,
         "multiprobe_lsh_topk": _q_multiprobe_lsh_topk,
+        "multiprobe_lsh_full_topk": _q_multiprobe_lsh_full_topk,
         # --- round-5 code/oracle changes -----------------------------------
         "kg_triples": _q_kg_triples,
         "kg_triples_dedup_backstop": _q_kg_triples_dedup,
@@ -2707,6 +2722,16 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
         """,
         # full-probe partitioned-index query degenerates to the exact answer
         "ivf_index_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                       WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            SELECT e2.vec_id,
+                   CAST(floor(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), q.e)
+                              * 100000 + 0.5) AS BIGINT) AS cos_e5
+            FROM embeddings e2, q
+            ORDER BY cos_e5 DESC, vec_id LIMIT 10
+        """,
+        # full-probe multiprobe degenerates to the exact answer
+        "multiprobe_lsh_full_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
                        WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
             SELECT e2.vec_id,
