@@ -498,6 +498,22 @@ def _q_kg_incremental(sf_dir: str):
     )
 
 
+def _q_kg_kcore(sf_dir: str):
+    """Round-bounded k-core of the co-occurrence KG: 4 rounds of
+    simultaneous degree<3 peeling — which entities sit in densely
+    interlinked cores vs peripheral tendrils (spam/boilerplate filtering
+    signal at web scale).  Fixed rounds make the recurrence exactly
+    SQL-unrollable (same oracle pattern as kg_bfs_hops / kg_pagerank);
+    dual-read over the written triples parquet."""
+    from lmss_entity_extractor_ray.ops.graph import kcore_peel
+    from lmss_entity_extractor_ray.pipelines.kg import cooccurrence_edges
+
+    triples = _write_oracle_triples(sf_dir)
+    edges = cooccurrence_edges(triples).select_columns(["iri_a", "iri_b"])
+    return kcore_peel(edges, k=3, rounds=4, a="iri_a", b="iri_b",
+                      node_name="iri")
+
+
 def _q_ontology_search(sf_dir: str):
     import pyarrow as pa
 
@@ -1602,6 +1618,54 @@ def _q_filter_parts(sf_dir: str):
     return filter_parts(ds)
 
 
+def _kcore_oracle_sql(
+    k: int = 3, rounds: int = 4,
+    triples_path: str = "/tmp/graft_kg/triples-sf0.01",
+) -> str:
+    """Unrolled fixed-round k-core peel oracle — one (removed_r, rem_r,
+    deg_r) CTE triple per round, mirroring ops/graph.py:kcore_peel's
+    simultaneous Jacobi removal exactly."""
+    head = f"""
+        WITH t AS (
+            SELECT DISTINCT subj, obj
+            FROM read_parquet('{triples_path}/*.parquet')),
+        und AS (
+            SELECT DISTINCT a.obj AS ia, b.obj AS ib
+            FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj),
+        e AS (SELECT ia AS u, ib AS v FROM und
+              UNION ALL SELECT ib, ia FROM und),
+        rem0 AS (SELECT DISTINCT u AS iri FROM e),
+        d0 AS (SELECT u AS iri, count(*) AS d FROM e GROUP BY u)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f""",
+        x{r} AS (
+            SELECT rem{r - 1}.iri
+            FROM rem{r - 1}
+            LEFT JOIN d{r - 1} USING (iri)
+            WHERE COALESCE(d{r - 1}.d, 0) < {k}),
+        rem{r} AS (SELECT iri FROM rem{r - 1}
+                   EXCEPT SELECT iri FROM x{r})"""
+        )
+        if r < rounds:
+            steps.append(f""",
+        d{r} AS (
+            SELECT e.u AS iri, count(*) AS d
+            FROM e
+            JOIN rem{r} ra ON e.u = ra.iri
+            JOIN rem{r} rb ON e.v = rb.iri
+            GROUP BY e.u)"""
+            )
+    case = "CASE " + " ".join(
+        f"WHEN n.iri IN (SELECT iri FROM x{r}) THEN {r}" for r in range(1, rounds + 1)
+    ) + " ELSE -1 END"
+    tail = f"""
+        SELECT n.iri, CAST({case} AS BIGINT) AS removed_round
+        FROM rem0 n
+    """
+    return head + "".join(steps) + tail
+
+
 def _pagerank_oracle_sql(
     iters: int = 5, scale: int = 10**12, weighted: bool = False,
     triples_path: str = "/tmp/graft_kg/triples-sf0.01",
@@ -1770,9 +1834,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_communities": _q_kg_communities,
         "kg_bfs_hops": _q_kg_bfs_hops,
-        "kg_degree_histogram": _q_kg_degree_histogram,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_incremental_triples": _q_kg_incremental,
+        "kg_kcore": _q_kg_kcore,
         "line_dedup": _q_line_dedup,
         "semdedup": _q_semdedup,
         "dsir_select": _q_dsir_select,
@@ -1780,6 +1844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _q_dup_span_stats,
         "exact_dedup": _q_exact_dedup,
         # --- long-green tail (position 51+) ----------------------------------
+        "kg_degree_histogram": _q_kg_degree_histogram,
         "ontology_search": _q_ontology_search,
         "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
         "url_dedup": _q_url_dedup,
@@ -1991,6 +2056,7 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
                 FROM j)
             WHERE jaccard_e5 >= 20000
         """,
+        "kg_kcore": _kcore_oracle_sql(),
         "kg_pagerank": _pagerank_oracle_sql(),
         "kg_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
         "kg_bfs_hops": _bfs_oracle_sql(),

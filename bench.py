@@ -236,6 +236,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "kg_degree_histogram",
         "kg_link_prediction",
         "kg_incremental_triples",
+        "kg_kcore",
     ):
         timed(name, lambda n=name: _consume_any(qs[n](sf_dir)))
 

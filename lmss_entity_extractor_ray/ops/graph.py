@@ -467,6 +467,111 @@ def triangle_counts(
     return rd.from_arrow(final)
 
 
+def kcore_peel(
+    edges_ds: rd.Dataset,
+    k: int = 3,
+    rounds: int = 4,
+    a: str = "a",
+    b: str = "b",
+    node_name: str = "node",
+) -> rd.Dataset:
+    """Fixed-round simultaneous k-core peeling over a DISTINCT undirected
+    edge list (each edge once, ``a < b``): in every round, ALL remaining
+    nodes whose degree within the remaining-induced subgraph is < ``k``
+    are removed together (Jacobi-style), for exactly ``rounds`` rounds —
+    fixed rounds make the recurrence SQL-unrollable, the same oracle
+    pattern as ``bfs_hops`` / the integer PageRank.  Emits one row per
+    node of the input graph: (node, removed_round) with ``removed_round``
+    = the 1-based round that peeled the node, or -1 for survivors (the
+    round-bounded k-core).  Early exit when a round removes nothing is
+    output-equivalent to running the remaining rounds (the graph no
+    longer changes), so the unrolled oracle still matches.
+
+    Shape: the edge list is materialized once; each round is one
+    vectorized membership-filter + degree-partial pass over the edge
+    blocks (Arrow ``is_in`` against the broadcast remaining set) folded
+    through the bounded coordinator combine.  Node cardinality must be
+    driver-sized (ontology-bounded for the co-occurrence KG) — the same
+    assumption as ``triangle_counts``'s rank broadcast; at web-scale node
+    counts the remaining set becomes a semi-join and the removal decision
+    a per-partition reduce, with the round structure unchanged."""
+    import ray as _ray
+
+    from .combine import combine_partials
+
+    node_dtype = _col_dtype(edges_ds, a)
+    empty_partial = pa.schema([("node", node_dtype), ("p_d", pa.int64())])
+    edges = edges_ds.select_columns([a, b]).materialize()
+
+    def deg_partial(t: pa.Table, rem_ref=None) -> pa.Table:
+        if rem_ref is not None:
+            remv = _ray.get(rem_ref)
+            keep = pc.and_(
+                pc.is_in(t.column(a), value_set=remv),
+                pc.is_in(t.column(b), value_set=remv),
+            )
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty_partial.empty_table()
+        allc = pa.chunked_array(
+            [t.column(a).combine_chunks(), t.column(b).combine_chunks()]
+        )
+        g = pa.table({"node": allc}).group_by(["node"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["node", "p_d"])
+
+    def degrees(rem_ref=None) -> pa.Table:
+        import functools
+
+        return combine_partials(
+            edges.map_batches(
+                functools.partial(deg_partial, rem_ref=rem_ref),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+            [("p_d", "sum", "degree")],
+            schema=empty_partial,
+        )
+
+    deg0 = degrees()
+    if deg0.num_rows == 0:
+        return rd.from_arrow(
+            pa.table({node_name: pa.array([], node_dtype),
+                      "removed_round": pa.array([], pa.int64())})
+        )
+    universe = deg0.column("node").combine_chunks()
+    n = len(universe)
+    removed_round = np.full(n, -1, dtype=np.int64)
+    remaining = np.ones(n, dtype=bool)
+    cur_deg = np.asarray(deg0.column("degree"), dtype=np.int64)
+
+    for r in range(1, rounds + 1):
+        peel = remaining & (cur_deg < k)
+        if not peel.any():
+            break  # fixpoint — identical to running the remaining rounds
+        removed_round[peel] = r
+        remaining &= ~peel
+        if not remaining.any() or r == rounds:
+            break
+        rem_ref = _ray.put(universe.filter(pa.array(remaining)))
+        degs = degrees(rem_ref)
+        cur_deg = np.zeros(n, dtype=np.int64)
+        if degs.num_rows:
+            idx = np.asarray(
+                pc.index_in(degs.column("node"), value_set=universe),
+                dtype=np.int64,
+            )
+            cur_deg[idx] = np.asarray(degs.column("degree"), dtype=np.int64)
+
+    return rd.from_arrow(
+        pa.table(
+            {node_name: universe,
+             "removed_round": pa.array(removed_round, pa.int64())}
+        )
+    )
+
+
 def _col_dtype(ds: rd.Dataset, col: str):
     try:
         return ds.schema().base_schema.field(col).type

@@ -416,18 +416,21 @@ def lsh_topk(
     seed: int = 13,
 ) -> rd.Dataset:
     """Approximate top-k: score only rows whose LSH bucket is within
-    ``hamming_radius`` of the query's bucket."""
+    ``hamming_radius`` of the query's bucket (any radius; at
+    ``hamming_radius == n_planes`` the ball covers every bucket and the
+    result is bitwise the exact top-k — pytest-pinned)."""
+    import itertools
+
     q = _unit(np.asarray(query, dtype=np.float64))
     planes = _planes(len(q), n_planes, seed)
     q_bucket = int(_bucket_of(q[None, :], planes)[0])
     ok_buckets = {q_bucket}
-    if hamming_radius >= 1:
-        for i in range(n_planes):
-            ok_buckets.add(q_bucket ^ (1 << i))
-    if hamming_radius >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                ok_buckets.add(q_bucket ^ (1 << i) ^ (1 << j))
+    for r in range(1, min(hamming_radius, n_planes) + 1):
+        for flips in itertools.combinations(range(n_planes), r):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            ok_buckets.add(q_bucket ^ m)
     return _bucket_scan_topk(emb_ds, q, planes, ok_buckets, k)
 
 

@@ -509,6 +509,16 @@ class TestSimilarity:
         assert len(got_ids & truth_ids) >= 3
         assert emb_tbl.column("vec_id")[7].as_py() in got_ids
 
+    def test_lsh_full_radius_equals_bruteforce(self, ray_session, emb_ds, emb_tbl):
+        """A Hamming ball of radius n_planes covers every bucket, so the
+        radius-expansion path must degenerate to the exact answer."""
+        from lmss_entity_extractor_ray.ops.similarity import lsh_topk
+
+        q = np.array(emb_tbl.column("embedding")[7].as_py(), dtype=np.float64)
+        df = lsh_topk(emb_ds, q, k=10, n_planes=5, hamming_radius=5).to_pandas()
+        got = list(zip(df["vec_id"].tolist(), df["cos_e5"].tolist()))
+        assert got == self._brute(emb_tbl, q, 10)
+
     def test_ivf_append_rolling_ingest(self, ray_session, emb_ds, emb_tbl, tmp_path):
         """Incremental add into the persisted index: appended vectors join
         the existing hive cells as new files (no clobbering), and a
@@ -1325,6 +1335,74 @@ class TestTriangles:
         )
         got = triangle_counts(tri).to_pandas()
         assert dict(zip(got["node"], got["n_triangles"])) == {"x": 1, "y": 1, "z": 1}
+
+
+class TestKCore:
+    @staticmethod
+    def _brute_peel(edges, k, rounds):
+        """Reference Jacobi peel: remove ALL remaining degree<k nodes each
+        round simultaneously."""
+        nodes = sorted({v for e in edges for v in e})
+        removed = {}
+        remaining = set(nodes)
+        for r in range(1, rounds + 1):
+            deg = {v: 0 for v in remaining}
+            for x, y in edges:
+                if x in remaining and y in remaining:
+                    deg[x] += 1
+                    deg[y] += 1
+            peel = {v for v in remaining if deg[v] < k}
+            if not peel:
+                break
+            for v in peel:
+                removed[v] = r
+            remaining -= peel
+        return {v: removed.get(v, -1) for v in nodes}
+
+    def test_cycle_with_tail(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import kcore_peel
+
+        # C4 (survives k=2) + path tail 0-4-5-6 peeling one node per round
+        edges = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 4), (4, 5), (5, 6)]
+        t = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
+                      "b": pa.array([e[1] for e in edges], pa.int64())})
+        got = kcore_peel(rd.from_arrow(t), k=2, rounds=4).to_pandas()
+        assert dict(zip(got["node"], got["removed_round"])) == {
+            0: -1, 1: -1, 2: -1, 3: -1, 4: 3, 5: 2, 6: 1}
+
+    def test_vs_bruteforce_random(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import kcore_peel
+
+        rng = np.random.RandomState(23)
+        n_nodes = 60
+        cand = [(i, j) for i in range(n_nodes) for j in range(i + 1, n_nodes)]
+        pick = rng.rand(len(cand)) < 0.06
+        edges = [e for e, p in zip(cand, pick) if p]
+        ds = rd.from_arrow(
+            pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
+                      "b": pa.array([e[1] for e in edges], pa.int64())})
+        ).repartition(4)
+        for k, rounds in ((2, 3), (3, 4), (4, 6)):
+            got = kcore_peel(ds, k=k, rounds=rounds).to_pandas()
+            assert (
+                dict(zip(got["node"], got["removed_round"]))
+                == self._brute_peel(edges, k, rounds)
+            ), (k, rounds)
+
+    def test_string_nodes_and_bounded_rounds(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import kcore_peel
+
+        # path a-b-c with rounds=1: only the endpoints peel (round bound)
+        t = pa.table({"a": pa.array(["a", "b"]), "b": pa.array(["b", "c"])})
+        got = kcore_peel(rd.from_arrow(t), k=2, rounds=1).to_pandas()
+        assert dict(zip(got["node"], got["removed_round"])) == {
+            "a": 1, "b": -1, "c": 1}
 
 
 class TestPageRank:
