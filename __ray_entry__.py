@@ -1111,6 +1111,15 @@ def _q_unigram_nll(sf_dir: str):
     return unigram_nll(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_bigram_nll(sf_dir: str):
+    """Add-one-smoothed bigram-LM scoring — the join-shaped scoring path
+    (counts co-locate by hash(w1); occurrences join the quantized q table;
+    per-doc integer sums through the doc-key exchange)."""
+    from lmss_entity_extractor_ray.ops.lm_score import bigram_nll
+
+    return bigram_nll(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_nll_buckets(sf_dir: str):
     """CCNet head/middle/tail (Wenzek et al. 2020 §4.4): exact ntile(3)
     over ascending per-doc mean NLL — global sort + ordered prefix scan."""
@@ -1808,7 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_near_dup_compacted": _q_streaming_near_dup_compacted,
         # --- last verified in round 3 ---------------------------------------
         "ann_topk": _q_ann_topk,
-        "ann_topk_multi": _q_ann_topk_multi,
+        "bigram_nll": _q_bigram_nll,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "knn_top1": _q_knn_top1,
@@ -1845,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         # --- long-green tail (position 51+) ----------------------------------
         "kg_degree_histogram": _q_kg_degree_histogram,
+        "ann_topk_multi": _q_ann_topk_multi,
         "ontology_search": _q_ontology_search,
         "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
         "url_dedup": _q_url_dedup,
@@ -2268,6 +2278,35 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
                 SELECT ex.doc_id, count(*) AS cnt, SUM(q.qv) AS s
                 FROM ex JOIN q USING (term) GROUP BY ex.doc_id) x
             USING (doc_id)
+        """,
+        "bigram_nll": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                         '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            occ AS (
+                SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+                WHERE len(t) >= 2),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v
+                  FROM (SELECT unnest(t) AS tok FROM toks)),
+            q AS (SELECT o.doc_id,
+                         CAST(floor(100000 * ln((c1.c1 + v.v) * 1.0 / (c2.c2 + 1)))
+                              AS BIGINT) AS q
+                  FROM occ o
+                  JOIN c2 USING (w1, w2)
+                  JOIN c1 USING (w1)
+                  CROSS JOIN v),
+            agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS s
+                    FROM q GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(agg.s, 0) AS BIGINT) AS nll_e5_sum
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         "nll_buckets": """
             WITH toks AS (

@@ -142,3 +142,153 @@ def nll_buckets(ds: rd.Dataset, n_buckets: int = 3) -> rd.Dataset:
         return pa.table(cols)
 
     return ranked.map_batches(assign, batch_format="pyarrow")
+
+
+def bigram_nll(ds: rd.Dataset, num_partitions=None) -> rd.Dataset:
+    """(doc_id, n_bigrams, nll_e5_sum) under an add-one-smoothed BIGRAM LM
+    fit on the corpus itself — the conditional-probability step up from
+    ``unigram_nll`` (CCNet's KenLM is a 5-gram; the bigram is the smallest
+    model with the join-shaped scoring that open n-gram vocabularies force
+    at 10^12 docs, where no count table can broadcast):
+
+        q(w1, w2) = floor(1e5 · ln((c1(w1) + V) / (c2(w1, w2) + 1)))
+        nll(doc)  = Σ over adjacent token pairs of q   (integer sum)
+
+    with c2 = corpus bigram count, c1(w1) = Σ_w2 c2 (bigram-start count)
+    and V = the EXACT corpus vocabulary size (distinct_tokens_exact).
+
+    Distributed shape — counting and scoring are both exchanges, nothing
+    vocabulary-sized touches the driver:
+      1. one pass explodes docs to bigram occurrence rows (materialized —
+         read twice);
+      2. block-local (w1, w2) pre-counts → ONE hash exchange partitioned
+         by hash(w1), so each partition derives c2, c1 AND the quantized
+         q locally (c1 is a within-partition fold because all of a w1's
+         bigrams co-locate);
+      3. occurrences ⋈ q-table (distributed hash join on (w1, w2)) →
+         in-block per-doc partial sums → groupby(doc_id) Sum — the
+         doc key is near-unique, skew-safe;
+      4. left-outer join back to the full doc list so <2-token docs emit
+         (0, 0) rows.
+
+    Quantize-then-sum (see module docstring) makes the DuckDB oracle
+    exact: q values are integers agreed with SQL ``ln``, integer sums are
+    order-independent."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+    from .partitioning import shuffle_partitions, string_partition
+
+    P = num_partitions or shuffle_partitions(ds)
+
+    from .cardinality import distinct_tokens_exact
+
+    V = int(
+        distinct_tokens_exact(ds)
+        .to_pandas()["n_distinct_tokens"]
+        .iloc[0]
+    )
+
+    occ_schema = pa.schema(
+        [("doc_id", pa.int64()), ("w1", pa.string()), ("w2", pa.string())]
+    )
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        ids_out, w1s, w2s = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = exact_tokens(t)
+            if len(toks) < 2:
+                continue
+            ids_out.extend([did] * (len(toks) - 1))
+            w1s.extend(toks[:-1])
+            w2s.extend(toks[1:])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+            }
+        )
+
+    occ = ds.map_batches(occ_rows, batch_format="pyarrow").materialize()
+
+    def partial_c2(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [("w1", pa.string()), ("w2", pa.string()),
+                 ("p_c", pa.int64()), ("part", pa.int32())]
+            ).empty_table()
+        g = (
+            b.select(["w1", "w2"])
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["w1", "w2", "p_c"])
+        )
+        part = pa.array(string_partition(g.column("w1"), P), pa.int32())
+        return g.append_column("part", part)
+
+    def q_table(group: pa.Table, V=V) -> pa.Table:
+        g = (
+            group.select(["w1", "w2", "p_c"])
+            .group_by(["w1", "w2"])
+            .aggregate([("p_c", "sum")])
+            .rename_columns(["w1", "w2", "c2"])
+        )
+        c1t = (
+            g.select(["w1", "c2"]).group_by(["w1"]).aggregate([("c2", "sum")])
+            .rename_columns(["w1", "c1"])
+        )
+        idx = pc.index_in(g.column("w1"), value_set=c1t.column("w1").combine_chunks())
+        c1 = np.asarray(c1t.column("c1"), dtype=np.float64)[np.asarray(idx)]
+        c2 = np.asarray(g.column("c2"), dtype=np.float64)
+        q = np.floor(100_000.0 * np.log((c1 + V) / (c2 + 1.0))).astype(np.int64)
+        return pa.table(
+            {"w1": g.column("w1"), "w2": g.column("w2"),
+             "q": pa.array(q, pa.int64())}
+        )
+
+    qtbl = (
+        occ.map_batches(partial_c2, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(q_table, batch_format="pyarrow")
+    )
+
+    joined = hash_join(occ, qtbl, on=["w1", "w2"], num_partitions=P)
+
+    def per_doc_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("p_q", pa.int64()), ("p_n", pa.int64())]
+            ).empty_table()
+        g = (
+            b.select(["doc_id", "q"])
+            .group_by(["doc_id"])
+            .aggregate([("q", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["doc_id", "p_q", "p_n"])
+
+    agg = (
+        joined.map_batches(per_doc_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("p_q", alias_name="s_q"), Sum("p_n", alias_name="s_n")
+        )
+    )
+
+    base = ds.select_columns(["doc_id"])
+    out = hash_join(base, agg, on="doc_id", how="left outer", num_partitions=P)
+
+    def finish(b: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_bigrams": pc.coalesce(b.column("s_n").cast(pa.int64()), zero),
+                "nll_e5_sum": pc.coalesce(b.column("s_q").cast(pa.int64()), zero),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -2622,6 +2622,55 @@ class TestUnigramNLL:
         # rarer tokens carry more bits: docs differ, scores discriminate
         assert got["nll_e5_sum"].nunique() > 10
 
+    def test_bigram_nll_vs_python(self, ray_session, docs_ds, docs_tbl):
+        """Independent recompute of the add-one bigram model: corpus c2/c1
+        counts + exact vocabulary -> quantized conditional information ->
+        per-doc integer sums; <2-token docs emit (0, 0)."""
+        from collections import Counter
+
+        from lmss_entity_extractor_ray.ops.dedup import exact_tokens
+        from lmss_entity_extractor_ray.ops.lm_score import bigram_nll
+
+        got = (
+            bigram_nll(docs_ds).to_pandas().set_index("doc_id").sort_index()
+        )
+        c2: Counter = Counter()
+        vocab = set()
+        docs = {}
+        for d, t in zip(
+            docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist()
+        ):
+            toks = exact_tokens(t)
+            docs[d] = toks
+            vocab.update(toks)
+            c2.update(zip(toks[:-1], toks[1:]))
+        c1: Counter = Counter()
+        for (w1, _), c in c2.items():
+            c1[w1] += c
+        V = len(vocab)
+        q = {
+            bg: int(np.floor(100_000.0 * np.log((c1[bg[0]] + V) / (c + 1.0))))
+            for bg, c in c2.items()
+        }
+        assert len(got) == len(docs)
+        for d, toks in docs.items():
+            bgs = list(zip(toks[:-1], toks[1:]))
+            assert got.loc[d, "n_bigrams"] == len(bgs)
+            assert got.loc[d, "nll_e5_sum"] == sum(q[bg] for bg in bgs)
+        # short/empty docs present with zeros (dedicated tiny corpus — the
+        # shared fixture has no <2-token docs)
+        import ray.data as rd
+
+        tiny = rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([1, 2, 3], pa.int64()),
+                 "text": pa.array(["", "one", "two words here"], pa.string())}
+            )
+        )
+        tg = bigram_nll(tiny).to_pandas().set_index("doc_id").sort_index()
+        assert tg["n_bigrams"].tolist() == [0, 0, 2]
+        assert tg.loc[1, "nll_e5_sum"] == 0 and tg.loc[2, "nll_e5_sum"] == 0
+
 
 class TestNllBuckets:
     @staticmethod
