@@ -228,6 +228,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "streaming_near_dup",
         "streaming_near_dup_compacted",
         "dsir_select",
+        "bigram_nll",
         "kg_pagerank",
         "kg_pagerank_weighted",
         "kg_triangles",
