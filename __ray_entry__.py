@@ -1785,14 +1785,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-query CORRECTNESS window (it samples the
     FIRST 50 entries) covers the evidence that matters most this round:
 
-      1-7    never driver-verified before round 5 (5 have sql oracles),
-      8-15   code or oracle changed in round 5 (new kg_triples / minhash
+      1-8    never driver-verified before round 5 (sessionize…multiprobe,
+             plus the new full-probe multiprobe value oracle),
+      9-18   code or oracle NEW/changed in round 5 (kg_triples / minhash
              value oracles, degree-oriented triangles, vectorized
-             co-occurrence pairs, streaming-index compaction),
-      16-36  last verified in round 3 (r4's new KG queries pushed them out),
-      37-50  the KG-analytics + headline-dedup core,
+             co-occurrence pairs, streaming-index compaction + its
+             driver-verified compacted variant),
+      19-37  last verified in round 3 (r4's new KG queries pushed them
+             out) — with bigram_nll (new, r5) in ann_topk_multi's slot,
+      38-50  the KG-analytics (incl. the new kg_kcore and
+             ivf_index_append_topk) + headline-dedup core,
       51+    long-green queries (value-verified in ≥2 prior rounds, all
-             still covered by tests/test_ops.py's oracle comparisons).
+             still covered by tests/test_ops.py's oracle comparisons);
+             kg_degree_histogram / ann_topk_multi rotated here to keep
+             dsir_select and the round-5 additions inside the window.
     """
     return {
         # --- never in any CORRECTNESS_r*.json ------------------------------
