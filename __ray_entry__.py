@@ -346,6 +346,47 @@ def _q_kg_pagerank_weighted(sf_dir: str):
     return _ids_to_iris(ranks, vocab_ref, "node", {"iri": "node", "rank_q": "rank_q"})
 
 
+def _q_kg_pagerank_warm(sf_dir: str):
+    """Checkpoint-resumed centrality: 3 cold iterations produce a rank
+    CHECKPOINT (written to a fixed parquet path in IRI space), then 2 more
+    iterations warm-start from it — the incremental-analytics shape for a
+    KG that merges nightly deltas (re-rank without recomputing history).
+    Dual-read oracle: SQL seeds r0 from the SAME written checkpoint
+    (COALESCE cold-start for unseen nodes, mirroring the code's fallback)
+    and unrolls the 2 remaining iterations; warm(j ckpt → k) over the same
+    graph is bit-identical to cold j+k by construction (pytest-pinned)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+
+    from lmss_entity_extractor_ray.ops.pagerank import pagerank
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    ids, vocab_ref = _cooc_id_graph(sf_dir)
+    if ids is None:
+        return _empty_iri_table("rank_q")
+    ids = ids.materialize()
+    ckpt = pagerank(ids, iters=3).to_pandas()  # node set is ontology-bounded
+    ckpt_tbl = pa.table(
+        {"node": pa.array(ckpt["node"].to_numpy(), pa.int64()),
+         "rank_q": pa.array(ckpt["rank_q"].to_numpy(), pa.int64())}
+    )
+    out = f"/tmp/graft_kg/pr-warm-{sf_name}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    vocab = _ray.get(vocab_ref)
+    _pq.write_table(
+        pa.table({"iri": vocab.take(ckpt_tbl.column("node")),
+                  "rank_q": ckpt_tbl.column("rank_q")}),
+        os.path.join(out, "ckpt.parquet"),
+    )
+    warm = pagerank(ids, iters=2, init_ranks=ckpt_tbl)
+    return _ids_to_iris(warm, vocab_ref, "node", {"iri": "node", "rank_q": "rank_q"})
+
+
 def _q_kg_triangles(sf_dir: str):
     """Per-entity triangle counts over the co-occurrence KG — the local
     clustering signal (which entities sit inside tight co-mention cliques).
@@ -1678,6 +1719,7 @@ def _kcore_oracle_sql(
 def _pagerank_oracle_sql(
     iters: int = 5, scale: int = 10**12, weighted: bool = False,
     triples_path: str = "/tmp/graft_kg/triples-sf0.01",
+    init_path: str = "",
 ) -> str:
     """Unrolled integer-PageRank oracle over the dual-read triples parquet —
     the exact recurrence of ops/pagerank.py (int64 floor division at every
@@ -1703,13 +1745,22 @@ def _pagerank_oracle_sql(
               UNION ALL SELECT ib AS src, ia AS dst FROM und),
         od AS (SELECT src, count(*) AS od FROM e GROUP BY src)"""
         msg = "SUM(r{prev}.r // od.od) AS m"
+    if init_path:
+        # warm start: seed from the written checkpoint, cold-start fallback
+        r0_body = f"""
+            SELECT nodes.iri, COALESCE(c.rank_q, {scale} // p.n) AS r
+            FROM nodes CROSS JOIN p
+            LEFT JOIN read_parquet('{init_path}/*.parquet') c
+                   ON c.iri = nodes.iri"""
+    else:
+        r0_body = f"SELECT iri, {scale} // p.n AS r FROM nodes, p"
     head = f"""
         WITH t AS (
             SELECT DISTINCT subj, obj
             FROM read_parquet('{triples_path}/*.parquet')),{und},
         nodes AS (SELECT DISTINCT src AS iri FROM e),
         p AS (SELECT count(*) AS n FROM nodes),
-        r0 AS (SELECT iri, {scale} // p.n AS r FROM nodes, p)"""
+        r0 AS ({r0_body})"""
     steps = []
     for i in range(1, iters + 1):
         steps.append(f""",
@@ -1832,7 +1883,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_canonical_docs": _q_dedup_canonical,
         "curation_pipeline": _q_curation,
         "events_hourly": _q_events_hourly,
-        "events_sliding": _q_events_sliding,
         "session_windows": _q_session_windows,
         "asof_lag": _q_asof_lag,
         "orders_range_join": _q_orders_range_join,
@@ -1847,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_exact_label_hits": _q_kg_exact_label_hits,
         "kg_pagerank": _q_kg_pagerank,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "kg_pagerank_warm": _q_kg_pagerank_warm,
         "kg_communities": _q_kg_communities,
         "kg_bfs_hops": _q_kg_bfs_hops,
         "kg_link_prediction": _q_kg_link_prediction,
@@ -1861,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- long-green tail (position 51+) ----------------------------------
         "kg_degree_histogram": _q_kg_degree_histogram,
         "ann_topk_multi": _q_ann_topk_multi,
+        "events_sliding": _q_events_sliding,
         "ontology_search": _q_ontology_search,
         "doc_dispatch_quarantine": _q_doc_dispatch_quarantine,
         "url_dedup": _q_url_dedup,
@@ -2075,6 +2127,9 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
         "kg_kcore": _kcore_oracle_sql(),
         "kg_pagerank": _pagerank_oracle_sql(),
         "kg_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
+        "kg_pagerank_warm": _pagerank_oracle_sql(
+            iters=2, init_path="/tmp/graft_kg/pr-warm-sf0.01"
+        ),
         "kg_bfs_hops": _bfs_oracle_sql(),
         "kg_link_prediction": """
             WITH t AS (
@@ -3169,6 +3224,7 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             "streamdup-pairs-sf0.01": f"streamdup-pairs-{sf}",
             "streamdup-pairs2-sf0.01": f"streamdup-pairs2-{sf}",
             "minhash-cands-sf0.01": f"minhash-cands-{sf}",
+            "pr-warm-sf0.01": f"pr-warm-{sf}",
         }
         for old, new in _SF_ORACLE_PATHS.items():
             oracles = {k: v.replace(old, new) for k, v in oracles.items()}

@@ -231,6 +231,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bigram_nll",
         "kg_pagerank",
         "kg_pagerank_weighted",
+        "kg_pagerank_warm",
         "kg_triangles",
         "kg_communities",
         "kg_bfs_hops",

@@ -68,6 +68,7 @@ def _iterate_local(
     d_num: int,
     d_den: int,
     w: Optional[np.ndarray] = None,
+    r0: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Reference single-array iteration (nodes sorted ascending).
 
@@ -91,7 +92,11 @@ def _iterate_local(
     starts = np.concatenate(([0], np.nonzero(di[1:] != di[:-1])[0] + 1))
     dst_nodes = di[starts]
     base = (d_den - d_num) * scale // (d_den * n)
-    r = np.full(n, scale // n, dtype=np.int64)
+    r = (
+        r0.astype(np.int64, copy=True)
+        if r0 is not None
+        else np.full(n, scale // n, dtype=np.int64)
+    )
     safe = np.maximum(per_node, 1)
     for _ in range(iters):
         if we is None:
@@ -105,10 +110,30 @@ def _iterate_local(
     return r
 
 
+def _init_ranks_for(
+    nodes: np.ndarray, init_tbl: Optional[pa.Table], n_total: int, scale: int
+) -> Optional[np.ndarray]:
+    """Warm-start lookup: rank from the checkpointed (node, rank_q) table
+    where present, the cold-start uniform scale // n_total for nodes the
+    checkpoint has never seen (new nodes from an incremental graph merge)."""
+    if init_tbl is None:
+        return None
+    r = np.full(len(nodes), scale // max(n_total, 1), dtype=np.int64)
+    if init_tbl.num_rows:
+        inodes = col_np(init_tbl, "node")
+        iranks = col_np(init_tbl, "rank_q")
+        order = np.argsort(inodes, kind="stable")
+        inodes, iranks = inodes[order], iranks[order]
+        pos = np.minimum(np.searchsorted(inodes, nodes), len(inodes) - 1)
+        hit = inodes[pos] == nodes
+        r[hit] = iranks[pos[hit]]
+    return r
+
+
 @ray.remote
 def _pr_local(
     src_col: str, dst_col: str, weight_col: Optional[str],
-    iters: int, scale: int, d_num: int, d_den: int,
+    iters: int, scale: int, d_num: int, d_den: int, init_tbl: Optional[pa.Table],
     *tables: pa.Table,
 ) -> pa.Table:
     live = [t for t in tables if t.num_rows]
@@ -119,7 +144,8 @@ def _pr_local(
     dst = col_np(t, dst_col)
     w = None if weight_col is None else col_np(t, weight_col)
     nodes = np.unique(np.concatenate([src, dst]))
-    r = _iterate_local(src, dst, nodes, iters, scale, d_num, d_den, w=w)
+    r0 = _init_ranks_for(nodes, init_tbl, len(nodes), scale)
+    r = _iterate_local(src, dst, nodes, iters, scale, d_num, d_den, w=w, r0=r0)
     return pa.table(
         {"node": pa.array(nodes, pa.int64()), "rank_q": pa.array(r, pa.int64())}
     )
@@ -202,11 +228,15 @@ def _pr_build_edges(weighted: bool, *shards: pa.Table) -> Tuple[pa.Table, pa.Tab
 
 
 @ray.remote
-def _pr_build_ranks(n_total: int, scale: int, *shards: pa.Table) -> pa.Table:
+def _pr_build_ranks(
+    n_total: int, scale: int, init_tbl: Optional[pa.Table], *shards: pa.Table
+) -> pa.Table:
     one = pa.schema([("node", pa.int64())])
     t = pa.concat_tables([s for s in shards if s.num_rows] or [one.empty_table()])
     nodes = np.unique(col_np(t, "node")) if t.num_rows else np.zeros(0, np.int64)
-    r = np.full(len(nodes), scale // max(n_total, 1), dtype=np.int64)
+    r = _init_ranks_for(nodes, init_tbl, n_total, scale)
+    if r is None:
+        r = np.full(len(nodes), scale // max(n_total, 1), dtype=np.int64)
     return pa.table(
         {"node": pa.array(nodes, pa.int64()), "rank_q": pa.array(r, pa.int64())}
     )
@@ -280,6 +310,7 @@ def pagerank(
     damping_den: int = 100,
     num_partitions: Optional[int] = None,
     small_graph_limit: int = 5_000_000,
+    init_ranks: Optional[pa.Table] = None,
 ) -> rd.Dataset:
     """(node, rank_q) for every node in the edge list after ``iters`` fixed
     iterations of integer-quantized PageRank (see module docstring for the
@@ -294,6 +325,14 @@ def pagerank(
     Size-adaptive like connected_components: small edge lists run as one
     remote numpy task; larger graphs take the partitioned BSP loop whose
     per-iteration traffic is distinct-destination rows, not edges.
+
+    ``init_ranks``: WARM START — a (node, rank_q) Arrow table (e.g. the
+    ranks a previous run wrote before a graph delta was merged) replaces
+    the uniform r_0; nodes the checkpoint has never seen fall back to the
+    cold-start scale // N.  Running ``iters=k`` warm-started from a
+    ``j``-iteration checkpoint over the SAME graph is bit-identical to a
+    cold ``j+k``-iteration run (pytest-pinned), which is what makes the
+    incremental-analytics path oracle-checkable from the written ranks.
     """
     cols = [src, dst] if weight is None else [src, dst, weight]
     blocks = edges_ds.select_columns(cols).to_arrow_refs()
@@ -305,7 +344,8 @@ def pagerank(
     if total <= small_graph_limit:
         return rd.from_arrow_refs(
             [_pr_local.remote(
-                src, dst, weight, iters, scale, damping_num, damping_den, *blocks
+                src, dst, weight, iters, scale, damping_num, damping_den,
+                init_ranks, *blocks
             )]
         )
     if num_partitions is None:
@@ -329,7 +369,7 @@ def pagerank(
     # N = global node count — one tiny metadata round over the per-partition
     # node tables (each node lives in exactly one partition by hash)
     rank_parts = [
-        _pr_build_ranks.remote(0, scale, *[s[p] for s in node_shards])
+        _pr_build_ranks.remote(0, scale, None, *[s[p] for s in node_shards])
         for p in range(P)
     ]
     counts = ray.get([_nrows.remote(t) for t in rank_parts])
@@ -338,7 +378,9 @@ def pagerank(
         return rd.from_arrow(_RANK_SCHEMA.empty_table())
     # rebuild rank tables with the true N baked into r_0
     rank_parts = [
-        _pr_build_ranks.remote(n_total, scale, *[s[p] for s in node_shards])
+        _pr_build_ranks.remote(
+            n_total, scale, init_ranks, *[s[p] for s in node_shards]
+        )
         for p in range(P)
     ]
     for _ in range(iters):

@@ -1433,6 +1433,57 @@ class TestPageRank:
         gb = dict(zip(b["node"], b["rank_q"]))
         assert ga == gb  # BSP must agree with the single-task path bit-exactly
 
+    def test_warm_start_equals_cold_continuation(self, ray_session):
+        """Warm-starting k iterations from a j-iteration checkpoint over
+        the same graph must be bit-identical to a cold j+k run — on BOTH
+        the single-task and the BSP path; a node absent from the
+        checkpoint (incremental-graph delta) falls back to the cold r_0."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.pagerank import (
+            _init_ranks_for,
+            _iterate_local,
+            pagerank,
+        )
+
+        src, dst = self._random_edges(seed=11)
+        edges = rd.from_arrow(
+            pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        ).materialize()
+        cold5 = pagerank(edges, iters=5).to_pandas()
+        ckpt = pagerank(edges, iters=3).to_pandas()
+        ckpt_tbl = pa.table(
+            {"node": pa.array(ckpt["node"].to_numpy(), pa.int64()),
+             "rank_q": pa.array(ckpt["rank_q"].to_numpy(), pa.int64())}
+        )
+        warm = pagerank(edges, iters=2, init_ranks=ckpt_tbl).to_pandas()
+        assert dict(zip(warm["node"], warm["rank_q"])) == dict(
+            zip(cold5["node"], cold5["rank_q"])
+        )
+        warm_bsp = pagerank(
+            edges, iters=2, init_ranks=ckpt_tbl,
+            num_partitions=4, small_graph_limit=0,
+        ).to_pandas()
+        assert dict(zip(warm_bsp["node"], warm_bsp["rank_q"])) == dict(
+            zip(cold5["node"], cold5["rank_q"])
+        )
+
+        # delta node 999 unseen by the checkpoint: expected = reference
+        # iteration seeded by the documented lookup rule
+        src2 = np.concatenate([src, [999]])
+        dst2 = np.concatenate([dst, [0]])
+        edges2 = rd.from_arrow(
+            pa.table({"src": pa.array(src2), "dst": pa.array(dst2)})
+        )
+        got = pagerank(edges2, iters=2, init_ranks=ckpt_tbl).to_pandas()
+        nodes2 = np.unique(np.concatenate([src2, dst2]))
+        r0 = _init_ranks_for(nodes2, ckpt_tbl, len(nodes2), 10**12)
+        exp = _iterate_local(src2, dst2, nodes2, 2, 10**12, 85, 100, r0=r0)
+        assert dict(zip(got["node"], got["rank_q"])) == dict(
+            zip(nodes2.tolist(), exp.tolist())
+        )
+
     def test_matches_float_reference(self, ray_session):
         import ray.data as rd
 
