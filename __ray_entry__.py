@@ -858,6 +858,22 @@ def _q_dup_clusters(sf_dir: str):
     )
 
 
+def _q_dedup_keep_longest(sf_dir: str):
+    """Score-aware corpus dedup: per near-dup cluster keep the LONGEST
+    member (n_chars desc, doc_id asc tie-break) — the RefinedWeb policy;
+    min-id canonical (dedup_canonical_docs) is only right for exact dups."""
+    from lmss_entity_extractor_ray.ops.dedup import ngram_jaccard_pairs
+    from lmss_entity_extractor_ray.ops.graph import keep_best_in_cluster
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+    return keep_best_in_cluster(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), pairs,
+        score_col="n_chars",
+    )
+
+
 def _q_dedup_canonical(sf_dir: str):
     """End-to-end corpus dedup: drop non-canonical dup-cluster members."""
     from lmss_entity_extractor_ray.ops.dedup import ngram_jaccard_pairs
@@ -1941,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
+        "dedup_keep_longest": _q_dedup_keep_longest,
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles,
         "tfidf_topk": _q_tfidf_topk,
         "orders_join_customer": _q_orders_join_customer,
@@ -3206,6 +3223,23 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
         "filter_parts": """
             SELECT p_partkey, p_name, p_size, p_retailprice
             FROM part WHERE p_size >= 30 ORDER BY p_partkey
+        """,
+        # near-dup clusters (recursive closure over the exact ngram pairs)
+        # -> per-cluster winner by (n_chars DESC, doc_id) -> keep winners
+        # and all unpaired docs
+        "dedup_keep_longest": _NGRAM_CC_CTE + """,
+            cl AS (SELECT u AS node, min(r) AS cluster_id FROM reach GROUP BY u),
+            w AS (SELECT node FROM (
+                      SELECT cl.node,
+                             row_number() OVER (
+                                 PARTITION BY cl.cluster_id
+                                 ORDER BY d.n_chars DESC, cl.node) AS rn
+                      FROM cl JOIN documents d ON d.doc_id = cl.node)
+                  WHERE rn = 1)
+            SELECT d.doc_id, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM cl)
+               OR d.doc_id IN (SELECT node FROM w)
         """,
         "supplier_balance_by_nation": """
             SELECT n.n_name, count(*) AS n_suppliers,

@@ -308,6 +308,15 @@ def keep_canonical(
         return pa.table({"drop_id": pa.array(node[node != cl], pa.int64())})
 
     drops = clusters.map_batches(non_canonical, batch_format="pyarrow").materialize()
+    return _filter_drop_ids(docs_ds, drops, id_col, broadcast_limit)
+
+
+def _filter_drop_ids(
+    docs_ds: rd.Dataset, drops: rd.Dataset, id_col: str, broadcast_limit: int
+) -> rd.Dataset:
+    """Shared dedup tail: remove docs whose id appears in the (drop_id)
+    Dataset — sorted-array broadcast + vectorized searchsorted when the
+    drop population fits ``broadcast_limit``, left-anti hash_join beyond."""
     n_drop = drops.count()
     if n_drop > broadcast_limit:
         from .join import hash_join
@@ -331,6 +340,50 @@ def keep_canonical(
         return batch.filter(pa.array(d[pos] != ids))
 
     return docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def keep_best_in_cluster(
+    docs_ds: rd.Dataset,
+    pairs_ds: rd.Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    a: str = "a",
+    b: str = "b",
+    broadcast_limit: int = 20_000_000,
+) -> rd.Dataset:
+    """Score-aware corpus dedup: per dup cluster keep the member with the
+    HIGHEST ``score_col`` (tie → smallest id) — the production policy
+    (RefinedWeb keeps the longest member, quality-filtered pipelines keep
+    the best-scoring one); ``keep_canonical`` keeps min-id, which is the
+    right choice only when members are byte-identical.
+
+    Shape: connected components over the pair list (output-scale), ONE
+    hash_join carries each clustered member's score to its cluster rows,
+    per-cluster winners resolve in a groupby(cluster_id) exchange (cluster
+    ids are min-member ids — near-unique; a pathological giant cluster is
+    one group, the same bound CC itself has), and the loser ids feed the
+    shared broadcast/anti-join drop filter.  Unpaired docs always
+    survive."""
+    from .join import hash_join
+
+    clusters = connected_components(pairs_ds, a=a, b=b, node_name="node")
+    members = hash_join(
+        clusters, docs_ds.select_columns([id_col, score_col]),
+        on="node", right_on=id_col,
+    )
+
+    def losers(group: pa.Table) -> pa.Table:
+        n = col_np(group, "node")
+        sc = col_np(group, score_col, np.float64)
+        order = np.lexsort((n, -sc))  # score desc, id asc
+        return pa.table({"drop_id": pa.array(n[n != n[order[0]]], pa.int64())})
+
+    drops = (
+        members.groupby("cluster_id")
+        .map_groups(losers, batch_format="pyarrow")
+        .materialize()
+    )
+    return _filter_drop_ids(docs_ds, drops, id_col, broadcast_limit)
 
 
 # ---------------------------------------------------------------------------

@@ -1337,6 +1337,56 @@ class TestTriangles:
         assert dict(zip(got["node"], got["n_triangles"])) == {"x": 1, "y": 1, "z": 1}
 
 
+class TestKeepBestInCluster:
+    def test_longest_wins_not_min_id(self, ray_session):
+        """The score winner differs from the min-id canonical: cluster
+        {1,2,3} keeps 2 (highest score); ties break to the smaller id;
+        unpaired docs always survive."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import (
+            keep_best_in_cluster,
+            keep_canonical,
+        )
+
+        docs = pa.table(
+            {"doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+             "n_chars": pa.array([10, 99, 50, 7, 7, 42], pa.int64())}
+        )
+        pairs = pa.table(
+            {"a": pa.array([1, 2, 4], pa.int64()),
+             "b": pa.array([2, 3, 5], pa.int64())}
+        )
+        kept = keep_best_in_cluster(
+            rd.from_arrow(docs), rd.from_arrow(pairs), score_col="n_chars"
+        ).to_pandas()
+        # cluster {1,2,3} -> 2 (score 99); cluster {4,5} -> 4 (tie, min id);
+        # 6 unpaired
+        assert sorted(kept["doc_id"]) == [2, 4, 6]
+        # min-id policy keeps 1 instead — the two policies genuinely differ
+        mincan = keep_canonical(
+            rd.from_arrow(docs), rd.from_arrow(pairs)
+        ).to_pandas()
+        assert sorted(mincan["doc_id"]) == [1, 4, 6]
+
+    def test_empty_pairs_keeps_all(self, ray_session):
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.graph import keep_best_in_cluster
+
+        docs = pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()),
+             "n_chars": pa.array([5, 6], pa.int64())}
+        )
+        pairs = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        kept = keep_best_in_cluster(
+            rd.from_arrow(docs), rd.from_arrow(pairs), score_col="n_chars"
+        ).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 2]
+
+
 class TestKCore:
     @staticmethod
     def _brute_peel(edges, k, rounds):
