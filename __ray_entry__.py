@@ -858,6 +858,27 @@ def _q_dup_clusters(sf_dir: str):
     )
 
 
+def _q_cross_corpus_near_dup(sf_dir: str):
+    """Crawl-merge near-dup: even-id docs play the EXISTING corpus, odd-id
+    docs the NEW crawl; every (existing, new) pair with exact 3-gram
+    Jaccard >= 0.5 comes back — composition over the verified self-join
+    machinery (see ops/dedup.py cross_ngram_jaccard_pairs)."""
+    import pyarrow.compute as _pc
+
+    from lmss_entity_extractor_ray.ops.dedup import cross_ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    a = docs.map_batches(
+        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    b = docs.map_batches(
+        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t.column("doc_id"), 1), 1)),
+        batch_format="pyarrow",
+    )
+    return cross_ngram_jaccard_pairs(a, b, threshold=0.5)
+
+
 def _q_dedup_keep_longest(sf_dir: str):
     """Score-aware corpus dedup: per near-dup cluster keep the LONGEST
     member (n_chars desc, doc_id asc tie-break) — the RefinedWeb policy;
@@ -1958,6 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "dedup_keep_longest": _q_dedup_keep_longest,
+        "cross_corpus_near_dup": _q_cross_corpus_near_dup,
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles,
         "tfidf_topk": _q_tfidf_topk,
         "orders_join_customer": _q_orders_join_customer,
@@ -3240,6 +3262,32 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT node FROM cl)
                OR d.doc_id IN (SELECT node FROM w)
+        """,
+        # exact cross-side 3-gram Jaccard: even-id docs vs odd-id docs
+        "cross_corpus_near_dup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                         '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                WHERE len(t) >= 3),
+            n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.s = y.s
+                WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+                GROUP BY 1, 2)
+            SELECT a, b,
+                   CAST(floor(i * 100000.0 / (na.n_sh + nb.n_sh - i) + 0.5)
+                        AS BIGINT) AS jaccard_e5
+            FROM inter
+            JOIN n na ON na.doc_id = a
+            JOIN n nb ON nb.doc_id = b
+            WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.5
         """,
         "supplier_balance_by_nation": """
             SELECT n.n_name, count(*) AS n_suppliers,

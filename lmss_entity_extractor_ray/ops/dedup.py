@@ -1346,3 +1346,64 @@ def exact_dedup_incremental(
         how="left anti",
         num_partitions=num_partitions,
     )
+
+
+def cross_ngram_jaccard_pairs(
+    a_ds: rd.Dataset,
+    b_ds: rd.Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    id_offset: int = 1 << 40,
+    num_partitions: Optional[int] = None,
+    max_shingle_freq=None,
+) -> rd.Dataset:
+    """CROSS-corpus near-duplicate pairs — the crawl-merge question ("which
+    docs in the NEW crawl near-duplicate something in the EXISTING corpus")
+    as opposed to the self-join's "which pairs within one corpus".  Returns
+    (a, b, jaccard_e5) with ``a`` from ``a_ds`` and ``b`` from ``b_ds``
+    (b's ORIGINAL id — the offset is internal).
+
+    Pure composition over the verified self-join machinery: b's doc ids
+    shift by ``id_offset`` (must exceed every id in ``a_ds``), the union
+    stream runs the exact inverted-index ``ngram_jaccard_pairs``, and a
+    boundary filter keeps only pairs that straddle the offset — within-A
+    and within-B pairs are computed by the join but dropped, so the
+    operator inherits the self-join's exactness, skew caps and SQL
+    expressibility verbatim.  (A candidate-pruned variant that skips
+    within-side pair enumeration entirely would reuse the side-tagged
+    shingle exchange; at near-dup densities the enumeration cost is
+    pair-output-bounded either way.)"""
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(batch.column("doc_id"), id_offset),
+                "text": batch.column("text"),
+            }
+        )
+
+    both = a_ds.select_columns(["doc_id", "text"]).union(
+        b_ds.select_columns(["doc_id", "text"]).map_batches(
+            shift, batch_format="pyarrow"
+        )
+    )
+    pairs = ngram_jaccard_pairs(
+        both, threshold=threshold, shingle_k=shingle_k,
+        num_partitions=num_partitions, max_shingle_freq=max_shingle_freq,
+    )
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(batch.column("a"), id_offset),
+            pc.greater_equal(batch.column("b"), id_offset),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": pc.subtract(t.column("b"), id_offset),
+                "jaccard_e5": t.column("jaccard_e5"),
+            }
+        )
+
+    return pairs.map_batches(cross_only, batch_format="pyarrow")

@@ -1337,6 +1337,36 @@ class TestTriangles:
         assert dict(zip(got["node"], got["n_triangles"])) == {"x": 1, "y": 1, "z": 1}
 
 
+class TestCrossCorpusNearDup:
+    def test_cross_only_pairs(self, ray_session):
+        """Only (A, B) pairs come back — within-side near-dups are
+        excluded, b carries its ORIGINAL id, and values equal the exact
+        Jaccard the self-join would report."""
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.ops.dedup import cross_ngram_jaccard_pairs
+
+        text = "alpha beta gamma delta epsilon zeta"
+        a = pa.table(
+            {"doc_id": pa.array([0, 2, 4], pa.int64()),
+             "text": pa.array([text, text, "totally different words here now"],
+                              pa.string())}
+        )
+        b = pa.table(
+            {"doc_id": pa.array([1, 3], pa.int64()),
+             "text": pa.array([text, "another unrelated string of tokens x"],
+                              pa.string())}
+        )
+        got = cross_ngram_jaccard_pairs(
+            rd.from_arrow(a), rd.from_arrow(b), threshold=0.5
+        ).to_pandas()
+        pairs = set(zip(got["a"], got["b"]))
+        # A-side 0 and 2 each match B-side 1 at J=1.0; the within-A pair
+        # (0, 2) must NOT appear even though it is also J=1.0
+        assert pairs == {(0, 1), (2, 1)}
+        assert set(got["jaccard_e5"]) == {100_000}
+
+
 class TestKeepBestInCluster:
     def test_longest_wins_not_min_id(self, ray_session):
         """The score winner differs from the min-id canonical: cluster
