@@ -1445,6 +1445,14 @@ def _q_events_hourly(sf_dir: str):
     return tumbling_window_agg(_read(sf_dir, "events", ["ts", "event_type", "value"]))
 
 
+def _q_events_hourly_users(sf_dir: str):
+    """Hourly active users: exact two-phase distinct (block-distinct pairs
+    -> pair-key exchange -> per-window counts -> bounded fold)."""
+    from lmss_entity_extractor_ray.ops.windows import tumbling_window_distinct
+
+    return tumbling_window_distinct(_read(sf_dir, "events", ["ts", "user_id"]))
+
+
 def _q_events_sliding(sf_dir: str):
     from lmss_entity_extractor_ray.ops.windows import sliding_window_agg
 
@@ -1980,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "dedup_keep_longest": _q_dedup_keep_longest,
         "cross_corpus_near_dup": _q_cross_corpus_near_dup,
+        "events_hourly_users": _q_events_hourly_users,
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles,
         "tfidf_topk": _q_tfidf_topk,
         "orders_join_customer": _q_orders_join_customer,
@@ -3288,6 +3297,12 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
             JOIN n na ON na.doc_id = a
             JOIN n nb ON nb.doc_id = b
             WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.5
+        """,
+        "events_hourly_users": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "supplier_balance_by_nation": """
             SELECT n.n_name, count(*) AS n_suppliers,

@@ -233,3 +233,57 @@ def sessionize(
         .groupby("part")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def tumbling_window_distinct(
+    events: rd.Dataset, unit: str = "hour", user_col: str = "user_id",
+    num_partitions=None,
+) -> rd.Dataset:
+    """(window_start, n_users) — DISTINCT entities per event-time window,
+    the canonical stream cardinality metric (hourly active users).
+
+    Distinct is NOT additive, so the map-side-partial + fold shape of
+    ``tumbling_window_agg`` cannot express it; this is the exact two-phase
+    distinct: each block emits its DISTINCT (window, user) pairs (in-block
+    dedup collapses the heavy repetition before anything moves), ONE hash
+    exchange on the PAIR key co-locates equal pairs, each partition
+    re-dedups and counts per window, and the bounded per-window partial
+    counts fold on the coordinator.  Exchange volume is Σ block-distinct
+    pairs; the sketch alternative for 10^12-row streams is per-window HLL
+    registers through the same fold (ops/cardinality.py)."""
+    import numpy as np
+
+    from .partitioning import shuffle_partitions, string_hash64
+
+    P = num_partitions or shuffle_partitions(events)
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        win = pc.strftime(
+            pc.floor_temporal(batch.column("ts"), unit=unit).cast(pa.timestamp("s")),
+            "%Y-%m-%d %H:%M:%S",
+        )
+        t = pa.table({"window_start": win, user_col: batch.column(user_col)})
+        g = t.group_by(["window_start", user_col]).aggregate([])  # block-distinct
+        u = np.asarray(g.column(user_col), dtype=np.int64).view(np.uint64)
+        part = ((string_hash64(g.column("window_start")) ^ u) % np.uint64(P)).astype(
+            np.int32
+        )
+        return g.append_column("part", pa.array(part, pa.int32()))
+
+    def count_per_window(group: pa.Table) -> pa.Table:
+        g = group.group_by(["window_start", user_col]).aggregate([])
+        c = g.group_by(["window_start"]).aggregate([([], "count_all")])
+        return c.rename_columns(["window_start", "p_n"])
+
+    partials = (
+        events.map_batches(block_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(count_per_window, batch_format="pyarrow")
+    )
+    final = combine_partials(
+        partials,
+        ["window_start"],
+        [("p_n", "sum", "n_users")],
+        schema=pa.schema([("window_start", pa.string()), ("p_n", pa.int64())]),
+    )
+    return rd.from_arrow(sort_table(final, [("window_start", "ascending")]))
