@@ -232,9 +232,27 @@ def _write_oracle_triples(sf_dir: str):
     triples = _triples_materialized(sf_dir)
     out = f"/tmp/graft_kg/triples-{sf_name}"
     shutil.rmtree(out, ignore_errors=True)
-    # branch rides along for the kg_branch_histogram dual-read oracle; the
-    # graph oracles keep selecting only (subj, obj)
-    triples.select_columns(["subj", "obj", "branch"]).write_parquet(out)
+    # branch rides along for the kg_branch_histogram oracle, pred+score_e5
+    # for the kg_triple_report one; the graph oracles keep selecting only
+    # (subj, obj)
+    import numpy as np
+    import pyarrow as pa
+
+    def proj(t: pa.Table) -> pa.Table:
+        s = t.column("score").cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "subj": t.column("subj"),
+                "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "branch": t.column("branch"),
+                "score_e5": pa.array(
+                    np.floor(s * 100_000.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    triples.map_batches(proj, batch_format="pyarrow").write_parquet(out)
     return triples
 
 
@@ -537,6 +555,16 @@ def _q_kg_incremental(sf_dir: str):
     return hash_join(
         new_ds, known, on=["subj", "pred", "obj"], how="left anti"
     )
+
+
+def _q_kg_triple_report(sf_dir: str):
+    """KG quality dashboard: per-predicate volume, document reach and
+    confidence mass (additive partials for counts/score mass; exact
+    two-phase distinct for the per-pred document reach).  Dual-read over
+    the written triples parquet (which carries pred + score_e5)."""
+    from lmss_entity_extractor_ray.pipelines.kg import triple_report
+
+    return triple_report(_write_oracle_triples(sf_dir))
 
 
 def _q_kg_kcore(sf_dir: str):
@@ -1989,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_longest": _q_dedup_keep_longest,
         "cross_corpus_near_dup": _q_cross_corpus_near_dup,
         "events_hourly_users": _q_events_hourly_users,
+        "kg_triple_report": _q_kg_triple_report,
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles,
         "tfidf_topk": _q_tfidf_topk,
         "orders_join_customer": _q_orders_join_customer,
@@ -3303,6 +3332,14 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
                        AS window_start,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "kg_triple_report": """
+            WITH t AS (SELECT *
+                       FROM read_parquet('/tmp/graft_kg/triples-sf0.01/*.parquet'))
+            SELECT pred, count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_docs,
+                   CAST(sum(score_e5) AS BIGINT) AS sum_score_e5
+            FROM t GROUP BY pred ORDER BY pred
         """,
         "supplier_balance_by_nation": """
             SELECT n.n_name, count(*) AS n_suppliers,

@@ -558,3 +558,85 @@ def cooccurrence_edges(
         .groupby("part")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def triple_report(triples_ds: rd.Dataset, num_partitions: Optional[int] = None) -> rd.Dataset:
+    """(pred, n_triples, n_docs, sum_score_e5) — the KG quality dashboard a
+    graph consumer reads first: volume, document reach and confidence mass
+    per predicate.  Two exchange shapes composed, both exact:
+
+    - n_triples / sum_score_e5 are ADDITIVE → per-block partials keyed by
+      the bounded pred vocabulary fold on the coordinator;
+    - n_docs = DISTINCT subjects per pred is NOT additive → block-distinct
+      (pred, subj) pairs go through ONE hash exchange on the subj-dominated
+      pair key (subjects are near-unique urls — skew-safe), each partition
+      re-dedups and pre-counts per pred, and the bounded per-pred partial
+      counts fold on the coordinator.
+
+    Scores quantize to e5 ints (the kg_triples quantizer) so the sum is an
+    order-independent integer — the SQL oracle mirrors it exactly."""
+    import numpy as np
+
+    from ..ops.combine import combine_partials, sort_table
+    from ..ops.partitioning import string_hash64
+
+    P = num_partitions or _shuffle_partitions(triples_ds)
+
+    def add_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("score").cast(pa.float64()).to_numpy(zero_copy_only=False)
+        e5 = np.floor(s * 100_000.0 + 0.5).astype(np.int64)
+        t = pa.table({"pred": batch.column("pred"), "e5": pa.array(e5, pa.int64())})
+        g = t.group_by(["pred"]).aggregate([("e5", "count"), ("e5", "sum")])
+        return g.rename_columns(["pred", "p_n", "p_s"])
+
+    adds = combine_partials(
+        triples_ds.map_batches(add_partial, batch_format="pyarrow"),
+        ["pred"],
+        [("p_n", "sum", "n_triples"), ("p_s", "sum", "sum_score_e5")],
+        schema=pa.schema(
+            [("pred", pa.string()), ("p_n", pa.int64()), ("p_s", pa.int64())]
+        ),
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["pred", "subj"])
+            .group_by(["pred", "subj"])
+            .aggregate([])
+        )
+        part = (
+            (string_hash64(g.column("subj")) ^ string_hash64(g.column("pred")))
+            % np.uint64(P)
+        ).astype(np.int32)
+        return g.append_column("part", pa.array(part, pa.int32()))
+
+    def count_distinct(group: pa.Table) -> pa.Table:
+        g = group.select(["pred", "subj"]).group_by(["pred", "subj"]).aggregate([])
+        c = g.group_by(["pred"]).aggregate([([], "count_all")])
+        return c.rename_columns(["pred", "p_d"])
+
+    docs = combine_partials(
+        triples_ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_distinct, batch_format="pyarrow"),
+        ["pred"],
+        [("p_d", "sum", "n_docs")],
+        schema=pa.schema([("pred", pa.string()), ("p_d", pa.int64())]),
+    )
+
+    # both sides are pred-bounded → a driver-side Arrow join is exact
+    idx = pc.index_in(adds.column("pred"), value_set=docs.column("pred").combine_chunks())
+    import numpy as _np
+
+    nd = _np.asarray(docs.column("n_docs"), dtype=_np.int64)[
+        _np.asarray(idx, dtype=_np.int64)
+    ]
+    out = pa.table(
+        {
+            "pred": adds.column("pred"),
+            "n_triples": adds.column("n_triples"),
+            "n_docs": pa.array(nd, pa.int64()),
+            "sum_score_e5": adds.column("sum_score_e5"),
+        }
+    )
+    return rd.from_arrow(sort_table(out, [("pred", "ascending")]))
