@@ -229,6 +229,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "streaming_near_dup_compacted",
         "dsir_select",
         "bigram_nll",
+        "dedup_keep_longest",
+        "cross_corpus_near_dup",
+        "events_hourly_users",
         "kg_pagerank",
         "kg_pagerank_weighted",
         "kg_pagerank_warm",
@@ -239,6 +242,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "kg_link_prediction",
         "kg_incremental_triples",
         "kg_kcore",
+        "kg_triple_report",
     ):
         timed(name, lambda n=name: _consume_any(qs[n](sf_dir)))
 
