@@ -131,3 +131,93 @@ class TestNTriples:
 
         content = "".join(open(f).read() for f in glob.glob(out + "/*"))
         assert "<s1> <p> <o1> ." in content and "<s2> <p> <o2> ." in content
+
+
+class TestWarc:
+    """WARC (ISO 28500) source: round-trip byte identity, gzip member
+    layout, non-response skipping, and WARC-fed ≡ parquet-fed triples."""
+
+    def _rows(self, small_corpus, n=40):
+        t = small_corpus.slice(0, n)
+        urls = t.column("url").to_pylist()
+        tss = t.column("warc_ts").to_pylist()
+        htmls = t.column("html").to_pylist()
+        rows = []
+        for u, ts, h in zip(urls, tss, htmls):
+            us = int(ts.timestamp() * 1_000_000)
+            rows.append((u, us, h if h is not None else b"<html></html>"))
+        return rows
+
+    def test_roundtrip_byte_identity(self, small_corpus, tmp_path):
+        from lmss_entity_extractor_ray.sources.warc import (
+            parse_warc_bytes,
+            write_warc,
+        )
+
+        rows = self._rows(small_corpus)
+        plain = str(tmp_path / "a.warc")
+        gz = str(tmp_path / "a.warc.gz")
+        write_warc(plain, rows)
+        write_warc(gz, rows)
+        for path in (plain, gz):
+            got = parse_warc_bytes(open(path, "rb").read())
+            assert len(got) == len(rows)  # warcinfo record skipped
+            for (u, us, h), rec in zip(rows, got):
+                assert rec["url"] == u
+                assert rec["warc_ts"] == (us // 1_000_000) * 1_000_000
+                assert rec["html"] == h  # BYTE-identical payload
+
+    def test_gzip_is_member_per_record(self, small_corpus, tmp_path):
+        import gzip as _gz
+
+        from lmss_entity_extractor_ray.sources.warc import write_warc
+
+        rows = self._rows(small_corpus, n=5)
+        gz = str(tmp_path / "m.warc.gz")
+        write_warc(gz, rows)
+        data = open(gz, "rb").read()
+        # one gzip magic per record + one for warcinfo (CC layout)
+        assert data.count(b"\x1f\x8b\x08") == len(rows) + 1
+        # and each member is independently decompressible
+        assert _gz.decompress(data[: data.index(b"\x1f\x8b\x08", 3)]).startswith(
+            b"WARC/1.0"
+        )
+
+    def test_warc_fed_pipeline_equals_parquet_fed(
+        self, ray_session, artifacts, small_corpus, tmp_path
+    ):
+        """End to end: triples from read_warc(...) must keyset-equal
+        triples from the same pages as a null-text parquet corpus (both
+        resolve text from html via the same extraction path)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.pipelines.kg import triples_dataset
+        from lmss_entity_extractor_ray.sources.warc import read_warc, write_warc
+
+        rows = self._rows(small_corpus)
+        warc = str(tmp_path / "cc.warc.gz")
+        write_warc(warc, rows)
+
+        pq_path = str(tmp_path / "pages.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "html": pa.array([r[2] for r in rows], pa.binary()),
+                    "text": pa.array([None] * len(rows), pa.string()),
+                }
+            ),
+            pq_path,
+        )
+
+        from_warc = triples_dataset(
+            read_warc(warc).select_columns(["url", "html", "text"]), artifacts
+        ).to_pandas()
+        from_pq = triples_dataset(
+            rd.read_parquet(pq_path), artifacts
+        ).to_pandas()
+        k1 = set(zip(from_warc["subj"], from_warc["pred"], from_warc["obj"]))
+        k2 = set(zip(from_pq["subj"], from_pq["pred"], from_pq["obj"]))
+        assert k1 == k2 and len(k1) > 0
