@@ -44,6 +44,17 @@ def main() -> int:
 
     art = build_or_load(args.owl)
     files = sorted(glob.glob(args.corpus))
+    if files and all(f.endswith((".warc", ".warc.gz")) for f in files):
+        # Common-Crawl-native input: convert WARC shards to the corpus
+        # parquet shape once (same resume unit), then run as usual
+        import os
+
+        from lmss_entity_extractor_ray.sources.warc import read_warc
+
+        conv = os.path.join(args.out, "_warc_corpus")
+        if not glob.glob(os.path.join(conv, "*.parquet")):
+            read_warc(files).write_parquet(conv)
+        files = sorted(glob.glob(os.path.join(conv, "*.parquet")))
     summary = run_kg_pipeline(
         files, art, args.out, num_shards=args.shards, resume=not args.no_resume
     )
