@@ -221,3 +221,51 @@ class TestWarc:
         k1 = set(zip(from_warc["subj"], from_warc["pred"], from_warc["obj"]))
         k2 = set(zip(from_pq["subj"], from_pq["pred"], from_pq["obj"]))
         assert k1 == k2 and len(k1) > 0
+
+
+class TestJsonlCorpus:
+    def test_jsonl_gz_fed_pipeline_equals_parquet_fed(
+        self, ray_session, artifacts, small_corpus, tmp_path
+    ):
+        """Dolma-layout .jsonl.gz (alien key names) → corpus shape →
+        triples must keyset-equal the parquet-fed run; text rides verbatim
+        (byte-identity invariant), missing lang maps to null."""
+        import gzip
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from lmss_entity_extractor_ray.pipelines.kg import triples_dataset
+        from lmss_entity_extractor_ray.sources.jsonl import read_jsonl_corpus
+
+        t = small_corpus.slice(0, 40)
+        urls = t.column("url").to_pylist()
+        texts = t.column("text").to_pylist()
+        path = str(tmp_path / "dump.jsonl.gz")
+        with gzip.open(path, "wt", encoding="utf-8") as f:
+            for u, x in zip(urls, texts):
+                f.write(json.dumps({"id": u, "content": x if x is not None else ""}) + "\n")
+
+        ds = read_jsonl_corpus(path, url_key="id", text_key="content")
+        df = ds.to_pandas()
+        assert list(df.columns) == ["url", "html", "text"]
+        assert df["html"].isna().all()
+        assert sorted(df["url"]) == sorted(urls)
+
+        from_jsonl = triples_dataset(ds, artifacts).to_pandas()
+        pq_path = str(tmp_path / "pages.parquet")
+        pq.write_table(
+            pa.table(
+                {"url": pa.array(urls, pa.string()),
+                 "html": pa.array([None] * len(urls), pa.binary()),
+                 "text": pa.array([x if x is not None else "" for x in texts],
+                                  pa.string())}
+            ),
+            pq_path,
+        )
+        from_pq = triples_dataset(rd.read_parquet(pq_path), artifacts).to_pandas()
+        k1 = set(zip(from_jsonl["subj"], from_jsonl["pred"], from_jsonl["obj"]))
+        k2 = set(zip(from_pq["subj"], from_pq["pred"], from_pq["obj"]))
+        assert k1 == k2 and len(k1) > 0
