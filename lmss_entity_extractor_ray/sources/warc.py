@@ -155,8 +155,12 @@ def parse_warc_bytes(data: bytes) -> List[dict]:
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
             hdrs[k.strip().lower()] = v.strip()
+        if "content-length" not in hdrs:
+            raise ValueError(f"WARC record without Content-Length at offset {pos}")
         length = int(hdrs["content-length"])
         body_start = head_end + 4
+        if body_start + length > n:
+            break  # truncated final record: never emit a partial payload
         payload = data[body_start : body_start + length]
         pos = body_start + length
         if hdrs.get("warc-type") == "response":

@@ -269,3 +269,32 @@ class TestJsonlCorpus:
         k1 = set(zip(from_jsonl["subj"], from_jsonl["pred"], from_jsonl["obj"]))
         k2 = set(zip(from_pq["subj"], from_pq["pred"], from_pq["obj"]))
         assert k1 == k2 and len(k1) > 0
+
+
+class TestWarcRobustness:
+    def test_truncated_and_garbage_inputs(self, small_corpus):
+        """Truncation at any byte parses the complete-record prefix or
+        raises ValueError; garbage raises cleanly — a crawler's reader
+        must never crash a shard task with an unexpected error type."""
+        from lmss_entity_extractor_ray.sources.warc import (
+            build_response_record,
+            parse_warc_bytes,
+        )
+
+        rec = build_response_record(
+            "https://x.example/a", 1_729_555_200_000_000, b"<html>hi</html>"
+        )
+        full = parse_warc_bytes(rec)
+        assert len(full) == 1 and full[0]["html"] == b"<html>hi</html>"
+        for cut in range(0, len(rec), 5):
+            try:
+                out = parse_warc_bytes(rec[:cut])
+                assert out == [] or out == full[: len(out)]
+            except ValueError:
+                pass
+        for data in (b"", b"\r\n\r\n", b"GARBAGE" * 10,
+                     b"WARC/1.0\r\nWARC-Type: response\r\n\r\nx"):
+            try:
+                assert parse_warc_bytes(data) == []
+            except ValueError:
+                pass
