@@ -1442,6 +1442,17 @@ def _q_length_percentile_gate(sf_dir: str):
     )
 
 
+def _q_token_budget_select(sf_dir: str):
+    """Greedy 10k-token budget fill over (stopword_ratio desc, doc_id) —
+    the curation pipeline's final 'fit the training budget' step, via the
+    exact distributed prefix scan."""
+    from lmss_entity_extractor_ray.ops.sampling import token_budget_select
+
+    return token_budget_select(
+        _read(sf_dir, "documents", ["doc_id", "text"]), budget_tokens=10_000
+    )
+
+
 def _q_hash_sample(sf_dir: str):
     from lmss_entity_extractor_ray.ops.sampling import hash_sample
 
@@ -2018,6 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_near_dup": _q_cross_corpus_near_dup,
         "events_hourly_users": _q_events_hourly_users,
         "kg_triple_report": _q_kg_triple_report,
+        "token_budget_select": _q_token_budget_select,
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles,
         "tfidf_topk": _q_tfidf_topk,
         "orders_join_customer": _q_orders_join_customer,
@@ -3340,6 +3352,25 @@ def oracle_sql(sf: str = "sf0.01") -> dict[str, str]:
                    count(DISTINCT subj) AS n_docs,
                    CAST(sum(score_e5) AS BIGINT) AS sum_score_e5
             FROM t GROUP BY pred ORDER BY pred
+        """,
+        # greedy budget fill: window running total over the quality order
+        "token_budget_select": f"""
+            WITH q AS (
+                SELECT doc_id, {_NTOK} AS n_tokens,
+                       CASE WHEN {_NTOK} = 0 THEN 0
+                            ELSE CAST(floor(len(list_filter({_TOKENS},
+                                                x -> x IN {_STOPWORDS_SQL}))
+                                            / {_NTOK} * 100000 + 0.5) AS BIGINT)
+                            END AS stopword_ratio_e5
+                FROM documents),
+            r AS (
+                SELECT *, SUM(n_tokens) OVER (
+                              ORDER BY stopword_ratio_e5 DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS cb
+                FROM q)
+            SELECT doc_id, stopword_ratio_e5, n_tokens
+            FROM r WHERE COALESCE(cb, 0) + n_tokens <= 10000
         """,
         "supplier_balance_by_nation": """
             SELECT n.n_name, count(*) AS n_suppliers,

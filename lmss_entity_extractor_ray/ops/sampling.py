@@ -161,3 +161,63 @@ def weighted_mix(
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_budget_select(docs_ds, budget_tokens: int):
+    """Greedy token-budget fill — the LAST step of every curation pipeline:
+    given a training budget of N tokens, keep the best-ranked documents
+    whose cumulative token count fits.  Rank here is (stopword_ratio desc,
+    doc_id asc) — the quality heuristic's "most natural prose first"; any
+    deterministic SQL-expressible order plugs in, the verified machinery
+    is the ORDER-THEN-PREFIX-SUM shape.
+
+    Distributed shape: per-doc token counts and the e5-quantized rank are
+    one vectorized pass; the global greedy order + running total is the
+    exact distributed prefix scan (``ops/prefix.ordered_cumsum``: one
+    range sort + an O(blocks) boundary-verified cumulative pass — no
+    driver-side doc table); the keep rule ``cum_before + n_tokens <=
+    budget`` is a map-only filter.  Emits (doc_id, stopword_ratio_e5,
+    n_tokens) for the selected docs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .arrow_np import col_np
+    from .prefix import ordered_cumsum
+    from .text_ops import quality_batch
+
+    def rank_rows(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        s = col_np(q, "stopword_ratio_e5")
+        return pa.table(
+            {
+                "doc_id": q.column("doc_id"),
+                "stopword_ratio_e5": q.column("stopword_ratio_e5"),
+                "n_tokens": q.column("n_tokens"),
+                # ordered_cumsum sorts ASCENDING; negate for desc-quality
+                "neg_rank": pa.array(-s, pa.int64()),
+            }
+        )
+
+    ranked = ordered_cumsum(
+        docs_ds.map_batches(rank_rows, batch_format="pyarrow"),
+        ["neg_rank", "doc_id"],
+        "n_tokens",
+        out_col="cum_before",
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        fits = pc.less_equal(
+            pc.add(batch.column("cum_before"), batch.column("n_tokens")),
+            budget_tokens,
+        )
+        t = batch.filter(fits)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "stopword_ratio_e5": t.column("stopword_ratio_e5"),
+                "n_tokens": t.column("n_tokens"),
+            }
+        )
+
+    return ranked.map_batches(keep, batch_format="pyarrow")
