@@ -186,6 +186,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "docs_per_source_cap",
         "dataset_split",
         "length_percentile_gate",
+        "token_budget_select",
         "top_tokens",
         "distinct_tokens_exact",
         "exact_dedup",
